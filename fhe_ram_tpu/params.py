@@ -1,0 +1,256 @@
+"""Parameter sets and address-digit decomposition helpers.
+
+TPU-native re-implementation of the reference FHE-RAM parameterization
+(reference: /root/reference/src/parameters.rs:11-21 and src/base.rs).
+
+The reference's compile-time constants become a frozen dataclass so that
+every jitted function specializes on a static `Params` instance (static
+shapes everywhere -- XLA requirement).
+
+Torus representation: a torus element is stored as `limbs` signed base-2^17
+digits (int32), limb j having weight 2^-(17*(j+1)).  This mirrors the
+reference's base2k layout (parameters.rs:12 BASE2K=17) and makes gadget
+decomposition free (the limbs *are* the digits).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from functools import cached_property
+
+# Three NTT primes, each ~2^19.3-2^19.6, all == 1 (mod 2*4096) so a
+# negacyclic NTT of any degree N <= 4096 exists.  Their product
+# M ~ 2^58.4 comfortably exceeds the worst-case external-product
+# accumulation bound (~2^48; see ops/crt.py).  Sizes are chosen so that
+# int32+float32 Barrett arithmetic is exact (see ops/modular.py).
+DEFAULT_PRIMES: tuple[int, ...] = (786433, 737281, 638977)
+
+
+def reverse_bits_msb(x: int, n: int) -> int:
+    """Bit-reverse the low `n` bits of x (reference: src/lib.rs:23-26)."""
+    r = 0
+    for _ in range(n):
+        r = (r << 1) | (x & 1)
+        x >>= 1
+    return r
+
+
+class Base1D:
+    """Vector of digit bit-widths (reference: src/base.rs Base1D)."""
+
+    def __init__(self, bases):
+        self.bases = tuple(int(b) for b in bases)
+
+    def size(self) -> int:
+        return len(self.bases)
+
+    def max(self) -> int:
+        m = 1
+        for b in self.bases:
+            m <<= b
+        return m
+
+    def gap(self, log_n: int) -> int:
+        g = log_n
+        for b in self.bases:
+            g >>= b
+        return 1 << g
+
+    def decomp(self, value: int) -> list[int]:
+        out, acc = [], 0
+        for b in self.bases:
+            out.append((value >> acc) & ((1 << b) - 1))
+            acc += b
+        return out
+
+    def recomp(self, digits) -> int:
+        v, acc = 0, 0
+        for i, b in enumerate(self.bases):
+            v |= digits[i] << acc
+            acc += b
+        return v
+
+    def __eq__(self, other):
+        return isinstance(other, Base1D) and self.bases == other.bases
+
+    def __hash__(self):
+        return hash(self.bases)
+
+    def __repr__(self):
+        return f"Base1D{self.bases}"
+
+
+class Base2D:
+    """Vector of Base1D (reference: src/base.rs Base2D)."""
+
+    def __init__(self, rows):
+        self.rows = tuple(r if isinstance(r, Base1D) else Base1D(r) for r in rows)
+
+    def max_len(self) -> int:
+        return max((r.size() for r in self.rows), default=0)
+
+    def as_1d(self) -> Base1D:
+        return Base1D([b for r in self.rows for b in r.bases])
+
+    def max(self) -> int:
+        return self.as_1d().max()
+
+    def decomp(self, value: int) -> list[int]:
+        return self.as_1d().decomp(value)
+
+    def recomp(self, digits) -> int:
+        return self.as_1d().recomp(digits)
+
+    def __eq__(self, other):
+        return isinstance(other, Base2D) and self.rows == other.rows
+
+    def __repr__(self):
+        return f"Base2D{list(self.rows)}"
+
+
+def get_base_2d(value: int, base) -> Base2D:
+    """Greedily pack log2(value) bits into rows of digit widths drawn from
+    `base` (reference: src/base.rs:84-108 get_base_2d)."""
+    out = []
+    bits = max(0, (int(value) - 1).bit_length())
+    while bits != 0:
+        row = []
+        for b in base:
+            if b <= bits:
+                row.append(b)
+                bits -= b
+            else:
+                if bits != 0:
+                    row.append(bits)
+                    bits = 0
+                break
+        out.append(Base1D(row))
+    return Base2D(out)
+
+
+def limbs_for(k: int, base2k: int) -> int:
+    return -(-k // base2k)
+
+
+@dataclass(frozen=True)
+class Params:
+    """Static FHE-RAM parameters (reference: src/parameters.rs:11-21).
+
+    Defaults are the README/benchmark configuration (README.md:20-33:
+    MAX_ADDR=2^18, K_PT=9). Use `PARAMS_CODE_2_14` for the committed-code
+    defaults (parameters.rs:14,21: MAX_ADDR=2^14, K_PT=3).
+    """
+
+    log_n: int = 12
+    base2k: int = 17
+    rank: int = 1
+    k_pt: int = 9
+    k_ct: int = 51            # BASE2K * 3
+    k_ggsw: int = 68          # BASE2K * 4 (address GGSW)
+    k_evk_trace: int = 68     # BASE2K * 4 (automorphism/trace keys)
+    k_evk_ggsw: int = 85      # BASE2K * 5 (GGSW-inversion keys)
+    decomp_n: tuple[int, ...] = (3, 3, 3, 3)
+    word_size: int = 4
+    max_addr: int = 1 << 18
+    primes: tuple[int, ...] = DEFAULT_PRIMES
+    xs_density: float = 0.5   # secret: sparse ternary, P[nonzero]
+    sigma: float = 3.2        # noise std-dev at the finest limb scale
+
+    def __post_init__(self):
+        assert sum(self.decomp_n) == self.log_n, "decomp_n must sum to log_n"
+        assert self.base2k == 17, "only base2k=17 is wired up"
+        for p in self.primes:
+            assert (p - 1) % (2 << self.log_n) == 0, "prime lacks 2N-th root"
+
+    @property
+    def n(self) -> int:
+        return 1 << self.log_n
+
+    @property
+    def num_primes(self) -> int:
+        return len(self.primes)
+
+    # --- limb counts ------------------------------------------------------
+    @property
+    def limbs_ct(self) -> int:
+        return limbs_for(self.k_ct, self.base2k)
+
+    @property
+    def limbs_ggsw(self) -> int:
+        return limbs_for(self.k_ggsw, self.base2k)
+
+    @property
+    def limbs_evk_trace(self) -> int:
+        return limbs_for(self.k_evk_trace, self.base2k)
+
+    @property
+    def limbs_evk_ggsw(self) -> int:
+        return limbs_for(self.k_evk_ggsw, self.base2k)
+
+    # --- gadget digit counts (reference: parameters.rs:273-279) ----------
+    @property
+    def dnum_ct(self) -> int:
+        return limbs_for(self.k_ct, self.base2k)
+
+    @property
+    def dnum_ggsw(self) -> int:
+        return limbs_for(self.k_ggsw, self.base2k)
+
+    # --- address geometry -------------------------------------------------
+    def base2d(self) -> Base2D:
+        return get_base_2d(self.max_addr, self.decomp_n)
+
+    @property
+    def n2(self) -> int:
+        return len(self.base2d().rows)
+
+    @property
+    def num_rows(self) -> int:
+        """Number of GLWE rows holding the RAM (ceil(max_addr / N))."""
+        return -(-self.max_addr // self.n)
+
+    def tree_shape(self) -> list[int]:
+        """Row counts of the persistent packing tree levels
+        (reference: src/ram.rs:306-332)."""
+        out = []
+        if self.max_addr > self.n:
+            size = -(-self.max_addr // self.n)
+            while size != 1:
+                size = -(-size // self.n)
+                out.append(size)
+        return out
+
+    @property
+    def trace_gal_els(self) -> tuple[int, ...]:
+        """Galois elements g_k = N/2^k + 1 used by trace and packing.
+
+        Step k of the normalized trace maps X -> X^{g_k}; the same set
+        drives the packing tree merges (core/packer.py)."""
+        return tuple((self.n >> k) + 1 for k in range(self.log_n))
+
+
+# README / benchmark configuration (README.md:29-36): 2^18 addresses,
+# 4xu8 words, K_PT = 9.
+PARAMS_README_2_18 = Params()
+
+# Committed-code defaults (parameters.rs:14,21): 2^14 addresses, K_PT = 3.
+PARAMS_CODE_2_14 = Params(k_pt=3, max_addr=1 << 14)
+
+# Small parameters for fast CPU tests (same limb structure, tiny ring).
+PARAMS_TEST_SMALL = Params(
+    log_n=6,
+    k_pt=3,
+    decomp_n=(3, 3),
+    word_size=2,
+    max_addr=1 << 8,
+)
+
+# Single-level test config (max_addr <= N, n2 == 1).
+PARAMS_TEST_FLAT = Params(
+    log_n=6,
+    k_pt=3,
+    decomp_n=(3, 3),
+    word_size=2,
+    max_addr=1 << 5,
+)
