@@ -1,0 +1,92 @@
+"""GGSW ciphertexts and the external product (the hot kernel).
+
+GGSW(mu) layout (coefficient domain): int32[D, C, C2, Lg, N] where
+  D  = dnum gadget digit-rows,
+  C  = rank+1 input components (which ct component the digit multiplies),
+  C2 = rank+1 output components (each row is a GLWE),
+  Lg = limbs of the row precision (k_ggsw).
+Row (d, c) = Enc(0) + mu * 2^-(17(d+1)) added to component c, i.e. its
+phase is mu*g_d*(-s_c) for c<rank and mu*g_d for c=rank.  Only the phase
+matters for external-product correctness (see core/keys.py tensor-key
+notes).
+
+Prepared (NTT-domain) form: int32[P, D, C, C2, Lg, N].
+
+External product: decompose the GLWE into its (normalized) limbs --
+the gadget digits -- NTT them, multiply-accumulate against the prepared
+GGSW rows pointwise, inverse-NTT, CRT-fold back into limbs.
+
+Reference counterparts: poulpy-core GGSW / GGSWEncryptSk /
+GLWEExternalProduct (consumed at src/coordinate.rs:121-180,
+src/coordinate_prepared.rs:145-178).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..params import Params
+from ..ops.ntt import NTTContext, ntt_fwd, ntt_inv
+from ..ops.modular import mul_mod, reduce_once
+from ..ops.crt import crt_fold
+from ..ops import limb as limb_ops
+from . import glwe, rng
+
+I32 = jnp.int32
+
+
+def encrypt(params: Params, ctx: NTTContext, s_ntt, mu, source: rng.Source,
+            dnum: int | None = None, limbs: int | None = None):
+    """GGSW(mu) for a small integer polynomial mu (int32[N]).
+
+    dnum defaults to params.dnum_ct (address GGSW, parameters.rs:273-279);
+    limbs defaults to params.limbs_ggsw."""
+    D = dnum if dnum is not None else params.dnum_ct
+    Lg = limbs if limbs is not None else params.limbs_ggsw
+    C = params.rank + 1
+    n = params.n
+    zeros = jnp.zeros((D, C, Lg, n), dtype=I32)
+    rows = glwe.encrypt(params, ctx, s_ntt, zeros, source)  # [D, C, C2, Lg, N]
+    mu = jnp.asarray(mu, I32)
+    # add mu at limb d of component c
+    for d in range(D):
+        for c in range(C):
+            rows = rows.at[d, c, c, d, :].add(mu)
+    # renormalize the touched limbs
+    return limb_ops.normalize(rows)
+
+
+def prepare(ctx: NTTContext, ggsw):
+    """Forward-NTT every row limb: [D, C, C2, Lg, N] -> [P, D, C, C2, Lg, N].
+    (The reference's GGSWPrepared DFT form, coordinate_prepared.rs:100-117.)"""
+    return ntt_fwd(ctx, ggsw)
+
+
+def external_product(params: Params, ctx: NTTContext, ct, ggsw_ntt,
+                     out_limbs: int | None = None):
+    """GLWE(m) x GGSW(mu) -> GLWE(mu*m).
+
+    ct: int32[..., C, L, N] normalized (its limbs are the gadget digits).
+    ggsw_ntt: int32[P, D, C, C2, Lg, N] with D == L.
+    Returns int32[..., C2, out_limbs, N] normalized (default out = L).
+    """
+    P, D, C, C2, Lg, n = ggsw_ntt.shape
+    L = ct.shape[-2]
+    assert ct.shape[-3] == C and D == L, (ct.shape, ggsw_ntt.shape)
+    Lout = out_limbs if out_limbs is not None else L
+
+    dig_ntt = ntt_fwd(ctx, ct)  # [P, ..., C, D, N]
+    lead = dig_ntt.ndim - 4  # number of batch axes between P and (C, D, N)
+    p, ip = ctx.consts(lead + 4)  # for acc rank [P, ..., C2, Lg, N]
+    acc = jnp.zeros((P,) + ct.shape[:-3] + (C2, Lg, n), dtype=I32)
+    for c in range(C):
+        for d in range(D):
+            dig = dig_ntt[..., c, d, :]  # [P, ..., N]
+            dig = dig[..., None, None, :]  # [P, ..., 1, 1, N]
+            g = ggsw_ntt[:, d, c]  # [P, C2, Lg, N]
+            g = g.reshape((P,) + (1,) * lead + (C2, Lg, n))
+            acc = acc + mul_mod(dig, g, p, ip)
+    acc = reduce_once(acc, p, ip)
+    conv = ntt_inv(ctx, acc)  # [P, ..., C2, Lg, N]
+    out = crt_fold(ctx.primes, conv, 17, Lout, p, ip)
+    return limb_ops.normalize(out)

@@ -1,0 +1,115 @@
+"""GGLWE key-switching keys, GLWE automorphisms, and the normalized trace.
+
+Automorphism-keyswitch pipeline (rank 1; generic in rank):
+  1. apply sigma_g to every component of the ct (pure index permutation),
+  2. key-switch the a-part back to the original secret using the
+     automorphism key: a GGLWE whose digit-row d has phase
+     sigma_g(s_i) * 2^-(17(d+1)).
+
+Output:  a_out = -sum_d digit_d(a') (*) k_a^(d)
+         b_out =  b' - sum_d digit_d(a') (*) k_b^(d)
+
+Normalized trace: T(ct) = [c_0, 0, ..., 0] via log_n sequential halving
+steps ct <- (ct + sigma_{g_k}(ct))/2, g_k = N/2^k + 1 (params.trace_gal_els).
+
+Reference counterparts: poulpy-core GLWEAutomorphismKey / GLWETrace
+(consumed at src/keys.rs:134-181, src/ram.rs:457,540,572,616-621).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..params import Params
+from ..ops.ntt import NTTContext, ntt_fwd, ntt_inv
+from ..ops.modular import mul_mod, reduce_once
+from ..ops.crt import crt_fold
+from ..ops import limb as limb_ops
+from ..ops import poly
+from . import glwe, rng
+
+I32 = jnp.int32
+
+
+def automorphism_key_encrypt(params: Params, ctx: NTTContext, sk, s_ntt, g: int,
+                             source: rng.Source, dnum: int, limbs: int):
+    """Automorphism key for galois element g: int32[D, rank, C2, Lk, N].
+
+    Row (d, i) has phase sigma_g(s_i) * 2^-(17(d+1))."""
+    rank = params.rank
+    n = params.n
+    sk_g = poly.automorphism(sk, g)  # [rank, N]
+    zeros = jnp.zeros((dnum, rank, limbs, n), dtype=I32)
+    rows = glwe.encrypt(params, ctx, s_ntt, zeros, source)  # [D, rank, C2, Lk, N]
+    for d in range(dnum):
+        for i in range(rank):
+            rows = rows.at[d, i, rank, d, :].add(sk_g[i])
+    return limb_ops.normalize(rows)
+
+
+def key_prepare(ctx: NTTContext, key):
+    """NTT-prepare a GGLWE key: [..., Lk, N] -> [P, ..., Lk, N]."""
+    return ntt_fwd(ctx, key)
+
+
+def keyswitch(params: Params, ctx: NTTContext, ct, key_ntt,
+              out_limbs: int | None = None):
+    """Key-switch ct (under the key's source secret) to the key's target
+    secret.  ct: int32[..., C, L, N] normalized; key_ntt:
+    int32[P, D, rank, C2, Lk, N] with D == L."""
+    P, D, rank, C2, Lk, n = key_ntt.shape
+    L = ct.shape[-2]
+    assert D == L and ct.shape[-3] == rank + 1
+    Lout = out_limbs if out_limbs is not None else L
+
+    a = ct[..., :rank, :, :]  # [..., rank, L, N]
+    b = ct[..., rank, :, :]   # [..., L, N]
+
+    dig_ntt = ntt_fwd(ctx, a)  # [P, ..., rank, D, N]
+    lead = dig_ntt.ndim - 4
+    p, ip = ctx.consts(lead + 4)
+    acc = jnp.zeros((P,) + ct.shape[:-3] + (C2, Lk, n), dtype=I32)
+    for i in range(rank):
+        for d in range(D):
+            dig = dig_ntt[..., i, d, :][..., None, None, :]  # [P, ..., 1, 1, N]
+            k = key_ntt[:, d, i].reshape((P,) + (1,) * lead + (C2, Lk, n))
+            acc = acc + mul_mod(dig, k, p, ip)
+    acc = reduce_once(acc, p, ip)
+    conv = ntt_inv(ctx, acc)
+    ks = crt_fold(ctx.primes, conv, 17, Lout, p, ip)  # [..., C2, Lout, N]
+
+    out_a = -ks[..., :rank, :, :]
+    out_b = limb_ops.resize_limbs(b, Lout) - ks[..., rank, :, :]
+    out = jnp.concatenate([out_a, out_b[..., None, :, :]], axis=-3)
+    return limb_ops.normalize(out)
+
+
+def automorphism_ks(params: Params, ctx: NTTContext, ct, g: int, key_ntt,
+                    out_limbs: int | None = None):
+    """sigma_g applied homomorphically: permute + key-switch."""
+    ct_g = poly.automorphism(ct, g)
+    return keyswitch(params, ctx, ct_g, key_ntt, out_limbs)
+
+
+def trace(params: Params, ctx: NTTContext, ct, auto_keys_ntt: dict):
+    """Normalized full trace: keeps coefficient 0, zeroes 1..N-1
+    (reference trace_inplace(0, log_n), src/ram.rs:457).
+
+    Construction: pre-scale ONCE by 1/N (exact limb shift), then apply
+    the unnormalized steps x <- x + sigma_g(x) over the subgroup tower.
+
+    Why not halve each step: homomorphic torus halving is 2-valued -- the
+    mask product a*s hides an integer whose parity leaks a +-1/2 offset.
+    Offsets injected mid-loop survive the remaining *partial* trace as
+    fractional garbage.  With the division done up-front, every mid-loop
+    mod-1 wrap is an integer polynomial, and the remaining
+    multiplication-free steps map integer polynomials to integer
+    polynomials -- identically 0 mod 1.  Cost: the pre-shift amplifies
+    per-step keyswitch noise by up to N (2^-36 -> ~2^-25 at default
+    parameters), still far below the 2^-(k_pt+1) read bound."""
+    ct = limb_ops.normalize(limb_ops.shift_right(ct, params.log_n))
+    for g in params.trace_gal_els:
+        t = automorphism_ks(params, ctx, ct, g, auto_keys_ntt[g],
+                            out_limbs=ct.shape[-2])
+        ct = limb_ops.normalize(ct + t)
+    return ct

@@ -1,0 +1,73 @@
+"""Log-depth batched GLWE packing (TPU re-architecture of GLWEPacker).
+
+The reference packer streams N inserts through a sequential
+automorphism-combine pipeline (poulpy GLWEPacker, consumed at
+src/ram.rs:406-448) -- inherently serial.  Here packing M ciphertexts is
+a balanced binary tree with log2(M) *batched* merge levels; every level
+is one batched automorphism-keyswitch over all surviving pairs
+(SURVEY.md §7 hard part 2).
+
+Merge rule (merging into level l, stride t = 2^l, galois g = N/2^l + 1):
+
+    C = (A + X^t B) + sigma_g(A - X^t B)        [unnormalized]
+
+sigma_g fixes coefficients at multiples of 2^(l+1) and negates odd
+multiples of 2^l, so C inherits A's values at even multiples of 2^l and
+B's at odd ones, times 2 per level.  The 1/M normalization is done ONCE
+up-front by an exact limb shift of the inputs: mid-loop divisions are
+unsound (see core/keyswitch.trace docstring), whereas with pre-scaling
+every mid-loop mod-1 wrap is an integer polynomial that the remaining
+division-free merges keep integer, i.e. 0 mod 1.
+
+Correctness note (why no cleanup levels): in every use in this pipeline
+the packed result is later passed through a rotation + full normalized
+trace, which only reads coefficients j < M.  Inductively, a level-l node
+r only needs correct coefficients at positions 2^l * j with
+r + 2^l * j < M, so leaves only need a correct coefficient 0 -- which raw
+external-product outputs already provide.  The reference instead streams
+all N slots (inserting None beyond M, ram.rs:425-444), spending ~2x the
+keyswitches; we verify equivalence at the decrypted level in
+tests/test_packer.py.
+
+Scale note: each merge halves, so slot-0 values land unscaled at
+coefficient j (matching the reference's normalized packer).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..params import Params
+from ..ops.ntt import NTTContext
+from ..ops import limb as limb_ops
+from ..ops import poly
+from . import keyswitch
+
+I32 = jnp.int32
+
+
+def pack(params: Params, ctx: NTTContext, cts, auto_keys_ntt: dict):
+    """Pack cts[M, ..., C, L, N] (slot-0 values v_m) into one ct whose
+    coefficient m equals v_m for all m < M.  M must be a power of two
+    (pad with zero ciphertexts otherwise -- an all-zero ct is an exact
+    encryption of 0)."""
+    M = cts.shape[0]
+    n = params.n
+    assert M & (M - 1) == 0, "pad input count to a power of two"
+    levels = M.bit_length() - 1
+    if levels == 0:
+        return cts[0]
+    # pre-scale by 1/M once (exact limb shift; see module docstring)
+    cts = limb_ops.normalize(limb_ops.shift_right(cts, levels))
+    for l in range(levels - 1, -1, -1):
+        t = 1 << l
+        g = (n >> l) + 1
+        A = cts[:t]
+        B = cts[t : 2 * t]
+        xb = poly.rotate(B, t)
+        u = A + xb
+        v = A - xb
+        w = keyswitch.automorphism_ks(params, ctx, v, g, auto_keys_ntt[g],
+                                      out_limbs=v.shape[-2])
+        cts = limb_ops.normalize(u + w)
+    return cts[0]

@@ -48,20 +48,28 @@ def negate(x):
     return -x
 
 
-def halve(x, base2k: int = 17):
-    """Exact torus division by 2 of balanced limbs (used by the normalized
-    trace / packing merges).  The odd bit of limb j moves down to limb j+1
-    with weight 2^(base2k-1); the last limb's odd bit is truncated
-    (2^-(17L) rounding, same as the reference's normalized automorphism
-    sums)."""
+def shift_right(x, bits: int, base2k: int = 17):
+    """Exact torus division by 2^bits of balanced limbs (bits < base2k).
+
+    The low `bits` of limb j move down to limb j+1; the last limb's low
+    bits are truncated (2^-(17L - bits) rounding).  Used to pre-scale
+    trace/packing inputs by 1/N resp. 1/M so the subsequent automorphism
+    sums need no mid-loop division (see core/keyswitch.trace for why
+    mid-loop halving is unsound)."""
+    assert 0 < bits < base2k
     L = x.shape[-2]
+    mask = (1 << bits) - 1
     out = []
     for j in range(L):
-        h = x[..., j, :] >> 1
+        h = x[..., j, :] >> bits
         if j > 0:
-            h = h + ((x[..., j - 1, :] & 1) << (base2k - 1))
+            h = h + ((x[..., j - 1, :] & mask) << (base2k - bits))
         out.append(h)
     return jnp.stack(out, axis=-2)
+
+
+def halve(x, base2k: int = 17):
+    return shift_right(x, 1, base2k)
 
 
 def resize_limbs(x, new_l: int):

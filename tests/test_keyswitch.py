@@ -1,0 +1,120 @@
+"""Automorphism key-switching, trace, and packing tests (small ring)."""
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from fhe_ram_tpu.params import PARAMS_TEST_SMALL as PAR
+from fhe_ram_tpu.ops.ntt import get_ntt_context
+from fhe_ram_tpu.ops import limb as limb_ops, poly
+from fhe_ram_tpu.core import glwe, ggsw, keyswitch, packer, keys, rng
+
+CTX = get_ntt_context(PAR.n, PAR.primes)
+
+
+def setup(seed=2):
+    src = rng.Source(seed)
+    sk = rng.ternary_secret(src.split(), PAR.rank, PAR.n, PAR.xs_density)
+    s_ntt = glwe.secret_prepare(CTX, sk)
+    ek = keys.keygen(PAR, sk, src)
+    ekp = keys.prepare(PAR, ek)
+    return src, sk, s_ntt, ekp
+
+
+def decode_all(ph):
+    t = limb_ops.torus_float(np.asarray(ph))
+    m = 1 << PAR.k_pt
+    d = np.rint(t * m).astype(np.int64)
+    return ((d + m // 2) % m) - m // 2
+
+
+def enc(src, s_ntt, vals):
+    return glwe.encrypt(PAR, CTX, s_ntt, glwe.encode_vec(PAR, jnp.asarray(vals)), src)
+
+
+def test_automorphism_ks():
+    src, sk, s_ntt, ekp = setup()
+    vals = (np.arange(PAR.n) * 3) % 5 - 2
+    ct = enc(src, s_ntt, vals)
+    for g in (PAR.trace_gal_els[0], PAR.trace_gal_els[-1]):
+        fn = jax.jit(partial(keyswitch.automorphism_ks, PAR, CTX, g=g))
+        res = fn(ct, key_ntt=ekp.atk_glwe[g])
+        got = decode_all(glwe.phase(PAR, CTX, s_ntt, res))
+        m = 1 << PAR.k_pt
+        want = np.asarray(poly.automorphism(jnp.asarray(vals), g))
+        want = ((want + m // 2) % m) - m // 2
+        assert np.array_equal(got, want), g
+
+
+def test_trace_extracts_coeff0():
+    src, sk, s_ntt, ekp = setup()
+    vals = (np.arange(PAR.n) * 3) % 5 - 2
+    vals[0] = 3
+    ct = enc(src, s_ntt, vals)
+    fn = jax.jit(partial(keyswitch.trace, PAR, CTX))
+    res = fn(ct, auto_keys_ntt=ekp.atk_glwe)
+    got = decode_all(glwe.phase(PAR, CTX, s_ntt, res))
+    want = np.zeros(PAR.n, dtype=np.int64)
+    want[0] = 3
+    assert np.array_equal(got, want), got[:8]
+
+
+def test_trace_noise():
+    src, sk, s_ntt, ekp = setup()
+    vals = np.zeros(PAR.n, dtype=np.int64)
+    vals[0] = 1
+    ct = enc(src, s_ntt, vals)
+    res = keyswitch.trace(PAR, CTX, ct, ekp.atk_glwe)
+    val, noise = glwe.decode_coeff0(PAR, np.asarray(glwe.phase(PAR, CTX, s_ntt, res)), 1)
+    assert int(val) == 1
+    assert noise < -(PAR.k_pt + 1), noise
+
+
+def test_pack():
+    """Pack M ciphertexts' slot-0 values; after a full trace of any
+    rotated result, coefficient m must surface (read-path contract)."""
+    src, sk, s_ntt, ekp = setup()
+    M = 4
+    slot_vals = [1, -2, 3, 0]
+    pts = np.zeros((M, PAR.n), dtype=np.int64)
+    for m, v in enumerate(slot_vals):
+        pts[m, 0] = v
+        pts[m, 1:] = (np.arange(PAR.n - 1) % 3) - 1  # garbage in other slots
+    cts = enc(src, s_ntt, pts)
+    fn = jax.jit(partial(packer.pack, PAR, CTX))
+    packed = fn(cts, auto_keys_ntt=ekp.atk_glwe)
+    ph = glwe.phase(PAR, CTX, s_ntt, packed)
+    got = decode_all(ph)
+    # coefficients 0..M-1 must hold the slot values (coefficients >= M may
+    # hold garbage by design; the pipeline always traces after selection)
+    assert list(got[:M]) == slot_vals, got[:8]
+
+    # extraction: rotate by -m then trace -> slot m at coeff 0
+    for m, v in enumerate(slot_vals):
+        r = poly.rotate(packed, -m)
+        res = keyswitch.trace(PAR, CTX, r, ekp.atk_glwe)
+        val, noise = glwe.decode_coeff0(
+            PAR, np.asarray(glwe.phase(PAR, CTX, s_ntt, res)), v)
+        assert int(val) == v
+        assert noise < -(PAR.k_pt + 1), noise
+
+
+def test_ggsw_automorphism_inv():
+    """GGSW(X^e) -> GGSW(X^-e) via the p=-1 auto key + tensor key."""
+    src, sk, s_ntt, ekp = setup()
+    e = 5
+    mono = np.zeros(PAR.n, dtype=np.int32)
+    mono[e] = 1
+    g_ct = ggsw.encrypt(PAR, CTX, s_ntt, jnp.asarray(mono), src)
+    g_inv = keys.ggsw_automorphism_inv(PAR, CTX, g_ct, ekp)
+    gp = ggsw.prepare(CTX, g_inv)
+
+    vals = np.zeros(PAR.n, dtype=np.int64)
+    vals[e] = 3  # X^-e should bring coeff e to coeff 0
+    ct = enc(src, s_ntt, vals)
+    res = ggsw.external_product(PAR, CTX, ct, gp)
+    got = decode_all(glwe.phase(PAR, CTX, s_ntt, res))
+    want = np.asarray(poly.rotate(jnp.asarray(vals), -e))
+    assert np.array_equal(got, want), (got[:8], want[:8])
