@@ -51,6 +51,15 @@ class EvaluationKeysPrepared:
     tsk: jnp.ndarray
 
 
+import jax  # noqa: E402
+
+jax.tree_util.register_dataclass(
+    EvaluationKeysPrepared,
+    data_fields=["atk_glwe", "atk_ggsw_inv", "tsk"],
+    meta_fields=[],
+)
+
+
 def keygen(params: Params, sk, source: rng.Source) -> EvaluationKeys:
     """Generate all evaluation keys under secret sk (int32[rank, N]).
 

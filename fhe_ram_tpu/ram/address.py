@@ -1,0 +1,110 @@
+"""Encrypted addresses: hierarchies of GGSW(X^-a_digit).
+
+An address a < max_addr is split by the Base2D geometry into n2
+coordinates (one per ring-degree-sized chunk of address bits); each
+coordinate is further split into small digits, one GGSW per digit, so
+that every GGSW encrypts a monomial with a tiny exponent
+(reference: src/address.rs, src/coordinate.rs).
+
+Layouts:
+  Coordinate (coeff domain):  int32[dig, D, C, C2, Lg, N]
+  Coordinate (prepared/NTT):  int32[P, dig, D, C, C2, Lg, N]
+Digit counts differ per coordinate, so an Address holds a tuple.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..params import Params, Base2D
+from ..ops.ntt import NTTContext
+from ..core import ggsw, rng
+
+I32 = jnp.int32
+
+
+@dataclass
+class Address:
+    """Client-encrypted address (coefficient domain)."""
+
+    coordinates: tuple  # tuple of int32[dig_i, D, C, C2, Lg, N]
+
+
+@dataclass
+class AddressPrepared:
+    """NTT-domain address (server side)."""
+
+    coordinates: tuple  # tuple of int32[P, dig_i, D, C, C2, Lg, N]
+
+
+jax.tree_util.register_dataclass(Address, data_fields=["coordinates"], meta_fields=[])
+jax.tree_util.register_dataclass(
+    AddressPrepared, data_fields=["coordinates"], meta_fields=[]
+)
+
+
+def _digit_monomial(n: int, value: int, base: int, tot_base: int, sign: int):
+    """The scalar polynomial +-X^chunk encoding one digit
+    (reference: src/coordinate.rs:145-169)."""
+    mono = np.zeros(n, dtype=np.int32)
+    chunk = (value & ((1 << base) - 1)) << tot_base
+    if sign < 0 and chunk != 0:
+        mono[n - chunk] = -1  # (X^c)^-1 = -X^(n-c), negacyclic wrap
+    else:
+        mono[chunk] = 1
+    return mono
+
+
+def coordinate_encrypt(params: Params, ctx: NTTContext, s_ntt, value: int,
+                       base1d, source: rng.Source):
+    """GGSW digits of X^{value}, |value| < N (src/coordinate.rs:121-180)."""
+    n = params.n
+    assert abs(value) < n
+    sign = 1 if value >= 0 else -1
+    remain = abs(value)
+    tot_base = 0
+    digs = []
+    for b in base1d.bases:
+        mono = _digit_monomial(n, remain, b, tot_base, sign)
+        digs.append(ggsw.encrypt(params, ctx, s_ntt, jnp.asarray(mono), source))
+        remain >>= b
+        tot_base += b
+    return jnp.stack(digs, axis=0)
+
+
+def encrypt(params: Params, ctx: NTTContext, s_ntt, value: int,
+            source: rng.Source) -> Address:
+    """Encrypt address `value`; digits are negated so read rotates by
+    X^-a (reference: src/address.rs:85-109, note the -(k) at :106)."""
+    base2d = params.base2d()
+    assert 0 <= value < base2d.max()
+    coords = []
+    remain = value
+    for base1d in base2d.rows:
+        k = remain & (base1d.max() - 1)
+        coords.append(coordinate_encrypt(params, ctx, s_ntt, -k, base1d, source))
+        remain //= base1d.max()
+    return Address(coordinates=tuple(coords))
+
+
+def prepare(ctx: NTTContext, addr: Address) -> AddressPrepared:
+    """Forward-NTT every digit GGSW (server-side, done inside read in the
+    reference -- src/ram.rs:416-421; we expose it separately AND fold it
+    into the jitted read for timing parity)."""
+    return AddressPrepared(
+        coordinates=tuple(ggsw.prepare(ctx, c) for c in addr.coordinates)
+    )
+
+
+def coordinate_product(params: Params, ctx: NTTContext, ct, coord_prep):
+    """Chained external products of all digit GGSWs of one coordinate
+    (the CMux chain, src/coordinate_prepared.rs:145-178).  ct may carry
+    leading batch dims."""
+    dig = coord_prep.shape[1]
+    for i in range(dig):
+        ct = ggsw.external_product(params, ctx, ct, coord_prep[:, i])
+    return ct

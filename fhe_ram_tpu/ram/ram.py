@@ -1,0 +1,242 @@
+"""The FHE-RAM engine: encrypted read / read_prepare_write / write.
+
+TPU-first design vs the reference (src/ram.rs):
+  * all WORDSIZE subrams are batched into one leading axis (the reference
+    loops them sequentially, ram.rs:187-190);
+  * per-row CMux external products are batched over the row axis;
+  * packing is the log-depth batched tree (core/packer.py);
+  * the write path's per-slot extraction loop (ram.rs:612-630, N
+    sequential double-traces) is re-architected: all slot rotations are
+    materialized by one gather and the 2*Rc traces run as a single
+    batched trace;
+  * state is functional: (data, tree) arrays in / out, jit-compiled once
+    per geometry.
+
+State layout:
+  data: int32[W, R, C, L, N]      (W subrams, R = ceil(max_addr/N) rows)
+  tree: tuple of int32[W, R_i, C, L, N]  (persistent packing levels,
+        reference ram.rs:306-332)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..params import Params
+from ..ops.ntt import NTTContext, get_ntt_context
+from ..ops import limb as limb_ops
+from ..ops import poly
+from ..core import glwe, ggsw, keyswitch, packer, rng
+from ..core import keys as keys_mod
+from . import address as address_mod
+
+I32 = jnp.int32
+
+
+# --------------------------------------------------------------------------
+# client-side: RAM encryption / decryption helpers
+# --------------------------------------------------------------------------
+
+def encrypt_ram(params: Params, ctx: NTTContext, s_ntt, data_bytes,
+                source: rng.Source):
+    """Encrypt the RAM content (reference Ram::encrypt_sk,
+    src/ram.rs:129-167): byte j of word i lands in subram j, encoded as a
+    signed i8 at precision k_pt, N values per GLWE row."""
+    W = params.word_size
+    R = params.num_rows
+    n = params.n
+    data_bytes = np.asarray(data_bytes, dtype=np.uint8)
+    assert data_bytes.size == params.max_addr * W
+    words = data_bytes.reshape(params.max_addr, W)
+    signed = words.astype(np.int8).astype(np.int32)  # i8 cast (ram.rs:365)
+    padded = np.zeros((R * n, W), dtype=np.int32)
+    padded[: params.max_addr] = signed
+    vals = padded.T.reshape(W, R, n)  # [W, R, N]
+    pt = glwe.encode_vec(params, jnp.asarray(vals))  # [W, R, L, N]
+    return glwe.encrypt(params, ctx, s_ntt, pt, source)  # [W, R, C, L, N]
+
+
+def make_tree(params: Params):
+    """Zero-initialized persistent packing tree."""
+    C = params.rank + 1
+    return tuple(
+        jnp.zeros((params.word_size, r, C, params.limbs_ct, params.n), dtype=I32)
+        for r in params.tree_shape()
+    )
+
+
+def encrypt_write_word(params: Params, ctx: NTTContext, s_ntt, word_bytes,
+                       source: rng.Source):
+    """Encrypt a word to write: per byte one GLWE of [w, 0, ..., 0]
+    (reference: encrypt_glwe in examples/fhe-ram.rs:179-210)."""
+    W = params.word_size
+    vals = np.zeros((W, params.n), dtype=np.int32)
+    vals[:, 0] = np.asarray(word_bytes, dtype=np.uint8).astype(np.int8)
+    pt = glwe.encode_vec(params, jnp.asarray(vals))
+    return glwe.encrypt(params, ctx, s_ntt, pt, source)  # [W, C, L, N]
+
+
+# --------------------------------------------------------------------------
+# server-side: jitted read / rpw / write implementations
+# --------------------------------------------------------------------------
+
+def _pack_rows(params: Params, ctx: NTTContext, cur, atk):
+    """Pack each N-row chunk's slot-0s into one row: [W, R, C, L, N] ->
+    [W, ceil(R/N), C, L, N]."""
+    W, R = cur.shape[0], cur.shape[1]
+    n = params.n
+    chunks = -(-R // n)
+    outs = []
+    for c in range(chunks):
+        rows = cur[:, c * n : (c + 1) * n]
+        Rc = rows.shape[1]
+        M = 1 << (Rc - 1).bit_length() if Rc > 1 else 1
+        if M != Rc:
+            pad = jnp.zeros((W, M - Rc) + rows.shape[2:], dtype=cur.dtype)
+            rows = jnp.concatenate([rows, pad], axis=1)
+        cts = jnp.moveaxis(rows, 1, 0)  # [M, W, C, L, N]
+        outs.append(packer.pack(params, ctx, cts, atk))  # [W, C, L, N]
+    return jnp.stack(outs, axis=1)
+
+
+def read_impl(params: Params, ctx: NTTContext, data, coords, atk):
+    """Encrypted read (reference SubRam::read, src/ram.rs:382-459), all
+    subrams batched.  coords: tuple of prepared coordinates."""
+    n2 = len(coords)
+    cur = data
+    for i in range(n2 - 1):
+        cur = address_mod.coordinate_product(params, ctx, cur, coords[i])
+        cur = _pack_rows(params, ctx, cur, atk)
+    cur = address_mod.coordinate_product(params, ctx, cur[:, 0], coords[n2 - 1])
+    return keyswitch.trace(params, ctx, cur, atk)  # [W, C, L, N]
+
+
+def rpw_impl(params: Params, ctx: NTTContext, data, coords, atk):
+    """read_prepare_write (reference src/ram.rs:461-542): identical output
+    to read, but persists every rotated level for the coming write."""
+    n2 = len(coords)
+    levels = []
+    cur = data
+    for i in range(n2):
+        cur = address_mod.coordinate_product(params, ctx, cur, coords[i])
+        levels.append(cur)
+        if i < n2 - 1:
+            cur = _pack_rows(params, ctx, cur, atk)
+    out = keyswitch.trace(params, ctx, levels[-1][:, 0], atk)
+    return out, levels[0], tuple(levels[1:])
+
+
+def _invert_coordinate(params: Params, ctx: NTTContext, coord, keys):
+    """GGSW(X^e) digits -> prepared GGSW(X^-e) digits (write path;
+    reference prepare_inv, src/coordinate_prepared.rs:119-142)."""
+    dig = coord.shape[0]
+    inv = [keys_mod.ggsw_automorphism_inv(params, ctx, coord[i], keys)
+           for i in range(dig)]
+    return ggsw.prepare(ctx, jnp.stack(inv, axis=0))
+
+
+def _rotate_stack(x, count: int):
+    """[..., N] -> stack of X^-m rotations, m in [0, count), inserted as
+    axis 1: [B, ..., N] -> [B, count, ..., N].  Batches the write path's
+    sequential X^-1 walk (reference src/ram.rs:629)."""
+    n = x.shape[-1]
+    srcs, signs = poly.rotate_batch_tables(n, count, step=-1)
+    y = jnp.take(x, srcs, axis=-1)  # [..., count, N]
+    y = jnp.moveaxis(y, -2, 1)
+    signs = signs.reshape((1, count) + (1,) * (y.ndim - 3) + (n,))
+    return y * signs
+
+
+def write_impl(params: Params, ctx: NTTContext, data, tree, w, addr_coords,
+               keys: keys_mod.EvaluationKeysPrepared):
+    """Encrypted write (reference Ram::write, src/ram.rs:226-294).
+
+    addr_coords: tuple of COEFFICIENT-domain coordinates (the inverse
+    GGSWs are derived homomorphically in here).  Returns new data; the
+    tree contents are consumed (stale afterwards, matching the reference
+    state machine)."""
+    atk = keys.atk_glwe
+    n = params.n
+    n2 = len(addr_coords)
+    levels = [data] + list(tree)
+
+    # first step: root <- root - TRACE(root) + w   (src/ram.rs:544-577)
+    root = levels[-1][:, 0]  # [W, C, L, N]
+    t = keyswitch.trace(params, ctx, root, atk)
+    root = limb_ops.normalize(root - t + w)
+    levels[-1] = levels[-1].at[:, 0].set(root)
+
+    # mid steps (src/ram.rs:579-632), batched over slots
+    for i in range(n2 - 2, -1, -1):
+        inv = _invert_coordinate(params, ctx, addr_coords[i + 1], keys)
+        hi = levels[i]
+        lo = levels[i + 1]
+        chunks = lo.shape[1]
+        new_chunks = []
+        for j in range(chunks):
+            ct_lo = address_mod.coordinate_product(params, ctx, lo[:, j], inv)
+            chunk = hi[:, j * n : (j + 1) * n]  # [W, Rc, C, L, N]
+            Rc = chunk.shape[1]
+            rot = _rotate_stack(ct_lo, Rc)  # [W, Rc, C, L, N]
+            both = jnp.concatenate([chunk, rot], axis=1)
+            tboth = keyswitch.trace(params, ctx, both, atk)
+            t_hi, t_lo = tboth[:, :Rc], tboth[:, Rc:]
+            new_chunks.append(limb_ops.normalize(chunk - t_hi + t_lo))
+        levels[i] = jnp.concatenate(new_chunks, axis=1)
+
+    # last step: undo the base-level rotation (src/ram.rs:634-649)
+    inv0 = _invert_coordinate(params, ctx, addr_coords[0], keys)
+    return address_mod.coordinate_product(params, ctx, levels[0], inv0)
+
+
+# --------------------------------------------------------------------------
+# orchestration
+# --------------------------------------------------------------------------
+
+class FheRam:
+    """Server-side FHE-RAM (reference Ram, src/ram.rs:25-29).
+
+    Holds static params + prepared keys and jit-compiles the three
+    operations once per geometry.  State (data, tree) is explicit."""
+
+    def __init__(self, params: Params, keys_prepared: keys_mod.EvaluationKeysPrepared):
+        self.params = params
+        self.ctx = get_ntt_context(params.n, params.primes)
+        self.keys = keys_prepared
+        self.pending_write = False
+
+        p, c = params, self.ctx
+        self._read = jax.jit(partial(read_impl, p, c))
+        self._rpw = jax.jit(partial(rpw_impl, p, c))
+        self._write = jax.jit(partial(write_impl, p, c))
+        # batched reads: vmap over a leading address axis (keys/data shared)
+        self._read_batch = jax.jit(
+            jax.vmap(partial(read_impl, p, c), in_axes=(None, 0, None))
+        )
+
+    def read(self, data, addr_prep: address_mod.AddressPrepared):
+        assert not self.pending_write, "pending write: call write() first"
+        return self._read(data, addr_prep.coordinates, self.keys.atk_glwe)
+
+    def read_batch(self, data, addrs_prep):
+        """Batched reads at many addresses: coords stacked on axis 0."""
+        assert not self.pending_write
+        return self._read_batch(data, addrs_prep, self.keys.atk_glwe)
+
+    def read_prepare_write(self, data, addr_prep: address_mod.AddressPrepared):
+        assert not self.pending_write, "pending write: call write() first"
+        out, new_data, new_tree = self._rpw(
+            data, addr_prep.coordinates, self.keys.atk_glwe)
+        self.pending_write = True
+        return out, new_data, new_tree
+
+    def write(self, data, tree, w, addr: address_mod.Address):
+        assert self.pending_write, "write requires read_prepare_write first"
+        new_data = self._write(data, tree, w, addr.coordinates, self.keys)
+        self.pending_write = False
+        return new_data

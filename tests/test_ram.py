@@ -1,0 +1,82 @@
+"""End-to-end FHE-RAM tests mirroring the reference integration driver
+(examples/fhe-ram.rs): keygen -> encrypt RAM -> encrypt address -> read ->
+read_prepare_write -> write -> read-back, with value equality and noise
+bound assertions at every step."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from fhe_ram_tpu.params import PARAMS_TEST_SMALL, PARAMS_TEST_FLAT
+from fhe_ram_tpu.ops.ntt import get_ntt_context
+from fhe_ram_tpu.core import glwe, keys, rng
+from fhe_ram_tpu.ram import address as address_mod
+from fhe_ram_tpu.ram import ram as ram_mod
+
+
+def build(par, seed=7):
+    ctx = get_ntt_context(par.n, par.primes)
+    src = rng.Source(seed)
+    sk = rng.ternary_secret(src.split(), par.rank, par.n, par.xs_density)
+    s_ntt = glwe.secret_prepare(ctx, sk)
+    ekp = keys.prepare(par, keys.keygen(par, sk, src))
+    server = ram_mod.FheRam(par, ekp)
+    return ctx, src, s_ntt, server
+
+
+def check_word(par, ctx, s_ntt, out, data, idx, note=""):
+    W = par.word_size
+    for i in range(W):
+        want = glwe.cast_u8_signed(int(data[idx * W + i]), par.k_pt)
+        ph = glwe.phase(par, ctx, s_ntt, out[i])
+        val, noise = glwe.decode_coeff0(par, np.asarray(ph), want)
+        assert int(val) == want, f"{note} subram {i}: {val} != {want}"
+        assert noise < -(par.k_pt + 1), f"{note} noise {noise}"
+
+
+@pytest.mark.parametrize("par", [PARAMS_TEST_FLAT, PARAMS_TEST_SMALL],
+                         ids=["flat_n2_1", "tree_n2_2"])
+def test_read(par):
+    ctx, src, s_ntt, server = build(par)
+    rnd = np.random.default_rng(11)
+    data = rnd.integers(0, 256, size=par.max_addr * par.word_size).astype(np.uint8)
+    ram_ct = ram_mod.encrypt_ram(par, ctx, s_ntt, data, src)
+
+    for idx in [0, 1, par.max_addr // 2 + 3, par.max_addr - 1]:
+        addr = address_mod.encrypt(par, ctx, s_ntt, idx, src)
+        ap = address_mod.prepare(ctx, addr)
+        out = server.read(ram_ct, ap)
+        check_word(par, ctx, s_ntt, np.asarray(out), data, idx, f"read idx={idx}")
+
+
+@pytest.mark.parametrize("par", [PARAMS_TEST_FLAT, PARAMS_TEST_SMALL],
+                         ids=["flat_n2_1", "tree_n2_2"])
+def test_read_write_cycle(par):
+    ctx, src, s_ntt, server = build(par, seed=8)
+    rnd = np.random.default_rng(12)
+    data = rnd.integers(0, 256, size=par.max_addr * par.word_size).astype(np.uint8)
+    ram_ct = ram_mod.encrypt_ram(par, ctx, s_ntt, data, src)
+
+    idx = int(rnd.integers(0, par.max_addr))
+    addr = address_mod.encrypt(par, ctx, s_ntt, idx, src)
+    ap = address_mod.prepare(ctx, addr)
+
+    # read_prepare_write returns the same value as read
+    out, ram_ct, tree = server.read_prepare_write(ram_ct, ap)
+    check_word(par, ctx, s_ntt, np.asarray(out), data, idx, "rpw")
+
+    # write a new word
+    new_word = rnd.integers(0, 256, size=par.word_size).astype(np.uint8)
+    w_ct = ram_mod.encrypt_write_word(par, ctx, s_ntt, new_word, src)
+    ram_ct = server.write(ram_ct, tree, w_ct, addr)
+    data[idx * par.word_size : (idx + 1) * par.word_size] = new_word
+
+    # read back at the written address
+    out = server.read(ram_ct, ap)
+    check_word(par, ctx, s_ntt, np.asarray(out), data, idx, "read-back")
+
+    # other addresses must be untouched
+    for other in [(idx + 1) % par.max_addr, (idx + par.max_addr // 2) % par.max_addr]:
+        a2 = address_mod.prepare(ctx, address_mod.encrypt(par, ctx, s_ntt, other, src))
+        out2 = server.read(ram_ct, a2)
+        check_word(par, ctx, s_ntt, np.asarray(out2), data, other, f"other idx={other}")
