@@ -1,0 +1,114 @@
+"""Benchmark driver: encrypted read latency at the reference's headline
+configuration (MAX_ADDR=2^18, WORDSIZE=4, LOG_N=12 -- README.md:29-36),
+on one TPU chip, vs the 450 ms i9-12900K single-thread baseline.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": ..., "unit": "ms", "vs_baseline": ...}
+vs_baseline > 1.0 means faster than the reference baseline.
+
+Extra timings (rpw/write cycle) are included as additional keys.
+Client-side ops (keygen/encrypt) run on local CPU; server ops on TPU.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+import jax
+
+BASELINE_READ_MS = 450.0
+BASELINE_WRITE_MS = 1200.0
+
+
+def main():
+    from fhe_ram_tpu.params import PARAMS_README_2_18 as par
+    from fhe_ram_tpu.ops.ntt import get_ntt_context
+    from fhe_ram_tpu.core import glwe, keys, rng
+    from fhe_ram_tpu.ram import address as address_mod
+    from fhe_ram_tpu.ram import ram as ram_mod
+
+    cpu = jax.devices("cpu")[0]
+    tpu = jax.devices()[0]
+
+    with jax.default_device(cpu):
+        ctx = get_ntt_context(par.n, par.primes)
+        src = rng.Source(0)
+        sk = rng.ternary_secret(src.split(), par.rank, par.n, par.xs_density)
+        s_ntt = glwe.secret_prepare(ctx, sk)
+        ekp = keys.prepare(par, keys.keygen(par, sk, src))
+        rnd = np.random.default_rng(5)
+        data = rnd.integers(0, 256, size=par.max_addr * par.word_size).astype(np.uint8)
+        ram_ct = ram_mod.encrypt_ram(par, ctx, s_ntt, data, src)
+        idx = int(rnd.integers(0, par.max_addr))
+        addr = address_mod.encrypt(par, ctx, s_ntt, idx, src)
+        ap = address_mod.prepare(ctx, addr)
+        new_word = rnd.integers(0, 256, size=par.word_size).astype(np.uint8)
+        w_ct = ram_mod.encrypt_write_word(par, ctx, s_ntt, new_word, src)
+
+    ram_dev = jax.device_put(ram_ct, tpu)
+    keys_dev = jax.device_put(ekp, tpu)
+    addr_dev = jax.device_put(ap, tpu)
+    addr_coeff = jax.device_put(addr, tpu)
+    w_dev = jax.device_put(w_ct, tpu)
+    server = ram_mod.FheRam(par, keys_dev)
+
+    # warmup / compile
+    out = server.read(ram_dev, addr_dev)
+    jax.block_until_ready(out)
+
+    iters = int(os.environ.get("BENCH_ITERS", "5"))
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = server.read(ram_dev, addr_dev)
+        jax.block_until_ready(out)
+        times.append((time.perf_counter() - t0) * 1000.0)
+    read_ms = float(np.median(times))
+
+    # correctness gate: a fast wrong answer is worthless
+    with jax.default_device(cpu):
+        out_cpu = jax.device_put(out, cpu)
+        for i in range(par.word_size):
+            want = glwe.cast_u8_signed(int(data[idx * par.word_size + i]), par.k_pt)
+            ph = glwe.phase(par, ctx, s_ntt, out_cpu[i])
+            val, noise = glwe.decode_coeff0(par, np.asarray(ph), want)
+            assert int(val) == want, f"bench correctness failure: {val} != {want}"
+            assert noise < -(par.k_pt + 1), f"noise bound violated: {noise}"
+
+    # full read-modify-write cycle (compile + one timed run)
+    rpw_ms = write_ms = None
+    try:
+        out, ram2, tree = server.read_prepare_write(ram_dev, addr_dev)
+        jax.block_until_ready(ram2)
+        ram3 = server.write(ram2, tree, w_dev, addr_coeff)
+        jax.block_until_ready(ram3)
+        server.pending_write = False
+        t0 = time.perf_counter()
+        out, ram2, tree = server.read_prepare_write(ram_dev, addr_dev)
+        jax.block_until_ready(ram2)
+        rpw_ms = (time.perf_counter() - t0) * 1000.0
+        t0 = time.perf_counter()
+        ram3 = server.write(ram2, tree, w_dev, addr_coeff)
+        jax.block_until_ready(ram3)
+        write_ms = (time.perf_counter() - t0) * 1000.0
+    except Exception as e:  # pragma: no cover
+        print(f"rpw/write bench skipped: {e}", file=sys.stderr)
+
+    result = {
+        "metric": "encrypted_read_latency_2^18_4xu8_1chip",
+        "value": round(read_ms, 3),
+        "unit": "ms",
+        "vs_baseline": round(BASELINE_READ_MS / read_ms, 2),
+    }
+    if rpw_ms is not None and write_ms is not None:
+        result["rpw_plus_write_ms"] = round(rpw_ms + write_ms, 3)
+        result["write_vs_baseline"] = round(BASELINE_WRITE_MS / (rpw_ms + write_ms), 2)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -23,6 +23,8 @@ src/coordinate_prepared.rs:145-178).
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import jax.numpy as jnp
 
 from ..params import Params
@@ -35,6 +37,32 @@ from . import glwe, rng
 I32 = jnp.int32
 
 
+def _encrypt_impl(params: Params, ctx: NTTContext, D: int, Lg: int,
+                  s_ntt, mu, ka, ke):
+    C = params.rank + 1
+    n = params.n
+    zeros = jnp.zeros((D, C, Lg, n), dtype=I32)
+    rows = glwe._encrypt_impl(params, ctx, s_ntt, zeros, ka, ke)
+    mu = jnp.asarray(mu, I32)
+    # add mu at limb d of component c
+    for d in range(D):
+        for c in range(C):
+            rows = rows.at[d, c, c, d, :].add(mu)
+    # renormalize the touched limbs
+    return limb_ops.normalize(rows)
+
+
+@lru_cache(maxsize=None)
+def _encrypt_jit(params: Params, D: int, Lg: int):
+    import jax
+    from ..ops.ntt import get_ntt_context
+
+    ctx = get_ntt_context(params.n, params.primes)
+    return jax.jit(
+        lambda s_ntt, mu, ka, ke: _encrypt_impl(params, ctx, D, Lg, s_ntt, mu, ka, ke)
+    )
+
+
 def encrypt(params: Params, ctx: NTTContext, s_ntt, mu, source: rng.Source,
             dnum: int | None = None, limbs: int | None = None):
     """GGSW(mu) for a small integer polynomial mu (int32[N]).
@@ -43,17 +71,9 @@ def encrypt(params: Params, ctx: NTTContext, s_ntt, mu, source: rng.Source,
     limbs defaults to params.limbs_ggsw."""
     D = dnum if dnum is not None else params.dnum_ct
     Lg = limbs if limbs is not None else params.limbs_ggsw
-    C = params.rank + 1
-    n = params.n
-    zeros = jnp.zeros((D, C, Lg, n), dtype=I32)
-    rows = glwe.encrypt(params, ctx, s_ntt, zeros, source)  # [D, C, C2, Lg, N]
-    mu = jnp.asarray(mu, I32)
-    # add mu at limb d of component c
-    for d in range(D):
-        for c in range(C):
-            rows = rows.at[d, c, c, d, :].add(mu)
-    # renormalize the touched limbs
-    return limb_ops.normalize(rows)
+    return _encrypt_jit(params, D, Lg)(
+        s_ntt, jnp.asarray(mu, I32), source.split(), source.split()
+    )
 
 
 def prepare(ctx: NTTContext, ggsw):

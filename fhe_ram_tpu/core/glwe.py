@@ -10,6 +10,8 @@ examples/fhe-ram.rs:179-237).
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -47,33 +49,60 @@ def _conv_with_secret(ctx: NTTContext, a, s_ntt, out_limbs: int):
     return crt_fold(ctx.primes, conv, 17, out_limbs, p, ip)
 
 
-def encrypt(params: Params, ctx: NTTContext, s_ntt, pt, source: rng.Source):
-    """Encrypt pt (torus limbs int32[..., L, N], normalized) under s.
-
-    Returns ct int32[..., rank+1, L, N]. Noise sigma at the last limb
-    scale (2^-(17L)), matching the reference's SIGMA=3.2 convention."""
+def _encrypt_impl(params: Params, ctx: NTTContext, s_ntt, pt, ka, ke):
     L = pt.shape[-2]
     n = pt.shape[-1]
     rank = params.rank
     a_shape = pt.shape[:-2] + (rank, L, n)
-    a = rng.uniform_limbs(source.split(), a_shape)
+    a = rng.uniform_limbs(ka, a_shape)
     a = limb_ops.normalize(a)
     conv = _conv_with_secret(ctx, a, s_ntt, L)
-    e = rng.gaussian_int(source.split(), pt.shape[:-2] + (n,), params.sigma)
+    e = rng.gaussian_int(ke, pt.shape[:-2] + (n,), params.sigma)
     b = conv + pt
     b = b.at[..., L - 1, :].add(e)
     b = limb_ops.normalize(b)
     return jnp.concatenate([a, b[..., None, :, :]], axis=-3)
 
 
-def phase(params: Params, ctx: NTTContext, s_ntt, ct):
-    """Decrypt to the noisy phase: b - sum a_i s_i (normalized limbs)."""
+@lru_cache(maxsize=None)
+def _encrypt_jit(params: Params):
+    from ..ops.ntt import get_ntt_context
+    import jax
+
+    ctx = get_ntt_context(params.n, params.primes)
+    return jax.jit(lambda s_ntt, pt, ka, ke: _encrypt_impl(params, ctx, s_ntt, pt, ka, ke))
+
+
+def encrypt(params: Params, ctx: NTTContext, s_ntt, pt, source: rng.Source):
+    """Encrypt pt (torus limbs int32[..., L, N], normalized) under s.
+
+    Returns ct int32[..., rank+1, L, N]. Noise sigma at the last limb
+    scale (2^-(17L)), matching the reference's SIGMA=3.2 convention.
+    Jit-compiled per (params, shape) -- client ops stay fast eagerly."""
+    return _encrypt_jit(params)(s_ntt, pt, source.split(), source.split())
+
+
+def _phase_impl(params: Params, ctx: NTTContext, s_ntt, ct):
     rank = params.rank
     a = ct[..., :rank, :, :]
     b = ct[..., rank, :, :]
     L = ct.shape[-2]
     conv = _conv_with_secret(ctx, a, s_ntt, L)
     return limb_ops.normalize(b - conv)
+
+
+@lru_cache(maxsize=None)
+def _phase_jit(params: Params):
+    from ..ops.ntt import get_ntt_context
+    import jax
+
+    ctx = get_ntt_context(params.n, params.primes)
+    return jax.jit(lambda s_ntt, ct: _phase_impl(params, ctx, s_ntt, ct))
+
+
+def phase(params: Params, ctx: NTTContext, s_ntt, ct):
+    """Decrypt to the noisy phase: b - sum a_i s_i (normalized limbs)."""
+    return _phase_jit(params)(s_ntt, ct)
 
 
 def encode_vec(params: Params, values, limbs: int | None = None):

@@ -18,6 +18,8 @@ Reference counterparts: poulpy-core GLWEAutomorphismKey / GLWETrace
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import jax.numpy as jnp
 
 from ..params import Params
@@ -31,20 +33,36 @@ from . import glwe, rng
 I32 = jnp.int32
 
 
+def _akey_impl(params: Params, ctx: NTTContext, g: int, dnum: int, limbs: int,
+               sk, s_ntt, ka, ke):
+    rank = params.rank
+    n = params.n
+    sk_g = poly.automorphism(sk, g)  # [rank, N]
+    zeros = jnp.zeros((dnum, rank, limbs, n), dtype=I32)
+    rows = glwe._encrypt_impl(params, ctx, s_ntt, zeros, ka, ke)
+    for d in range(dnum):
+        for i in range(rank):
+            rows = rows.at[d, i, rank, d, :].add(sk_g[i])
+    return limb_ops.normalize(rows)
+
+
+@lru_cache(maxsize=None)
+def _akey_jit(params: Params, g: int, dnum: int, limbs: int):
+    import jax
+    from ..ops.ntt import get_ntt_context
+
+    ctx = get_ntt_context(params.n, params.primes)
+    return jax.jit(
+        lambda sk, s_ntt, ka, ke: _akey_impl(params, ctx, g, dnum, limbs, sk, s_ntt, ka, ke)
+    )
+
+
 def automorphism_key_encrypt(params: Params, ctx: NTTContext, sk, s_ntt, g: int,
                              source: rng.Source, dnum: int, limbs: int):
     """Automorphism key for galois element g: int32[D, rank, C2, Lk, N].
 
     Row (d, i) has phase sigma_g(s_i) * 2^-(17(d+1))."""
-    rank = params.rank
-    n = params.n
-    sk_g = poly.automorphism(sk, g)  # [rank, N]
-    zeros = jnp.zeros((dnum, rank, limbs, n), dtype=I32)
-    rows = glwe.encrypt(params, ctx, s_ntt, zeros, source)  # [D, rank, C2, Lk, N]
-    for d in range(dnum):
-        for i in range(rank):
-            rows = rows.at[d, i, rank, d, :].add(sk_g[i])
-    return limb_ops.normalize(rows)
+    return _akey_jit(params, g, dnum, limbs)(sk, s_ntt, source.split(), source.split())
 
 
 def key_prepare(ctx: NTTContext, key):

@@ -1,0 +1,92 @@
+"""True read-latency probe: run k reads inside one jitted scan, fetch one
+tiny result; per-read time = (T_k - T_0) / k.
+
+Robust against async-dispatch timing artifacts (block_until_ready over
+the axon tunnel does not reliably wait)."""
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from functools import partial
+
+from fhe_ram_tpu.params import PARAMS_README_2_18, PARAMS_CODE_2_14
+from fhe_ram_tpu.ops.ntt import get_ntt_context
+from fhe_ram_tpu.core import glwe, keys, rng
+from fhe_ram_tpu.ram import address as address_mod
+from fhe_ram_tpu.ram import ram as ram_mod
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="2_14")
+    ap.add_argument("--k", type=int, default=16)
+    args = ap.parse_args()
+    par = PARAMS_README_2_18 if args.config == "2_18" else PARAMS_CODE_2_14
+
+    cpu = jax.devices("cpu")[0]
+    tpu = jax.devices()[0]
+    with jax.default_device(cpu):
+        ctx = get_ntt_context(par.n, par.primes)
+        src = rng.Source(0)
+        sk = rng.ternary_secret(src.split(), par.rank, par.n, par.xs_density)
+        s_ntt = glwe.secret_prepare(ctx, sk)
+        ekp = keys.prepare(par, keys.keygen(par, sk, src))
+        rnd = np.random.default_rng(5)
+        data = rnd.integers(0, 256, size=par.max_addr * par.word_size).astype(np.uint8)
+        ram_ct = ram_mod.encrypt_ram(par, ctx, s_ntt, data, src)
+        idxs = [int(rnd.integers(0, par.max_addr)) for _ in range(args.k)]
+        aps = [address_mod.prepare(ctx, address_mod.encrypt(par, ctx, s_ntt, i, src))
+               for i in idxs]
+        coords_stacked = tuple(
+            jnp.stack([a.coordinates[i] for a in aps], axis=0)
+            for i in range(len(aps[0].coordinates))
+        )
+
+    ram_dev = jax.device_put(ram_ct, tpu)
+    atk_dev = jax.device_put(ekp.atk_glwe, tpu)
+    coords_dev = jax.device_put(coords_stacked, tpu)
+
+    def k_reads(k):
+        def body(carry, cs):
+            out = ram_mod.read_impl(par, ctx, ram_dev_ref[0], cs, atk_ref[0])
+            return carry + jnp.sum(out[:, :, 0, 0]), None
+
+        def fn(data_in, coords_in, atk_in):
+            ram_dev_ref[0] = data_in
+            atk_ref[0] = atk_in
+            cs_k = jax.tree.map(lambda c: c[:k], coords_in)
+            acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.int32), cs_k)
+            return acc
+
+        return jax.jit(fn)
+
+    ram_dev_ref = [None]
+    atk_ref = [None]
+
+    for k in (1, args.k):
+        fn = k_reads(k)
+        t0 = time.time()
+        r = np.asarray(fn(ram_dev, coords_dev, atk_dev))
+        print(f"k={k} compile+run: {time.time()-t0:.1f}s result={r}", flush=True)
+        ts = []
+        for _ in range(3):
+            t0 = time.time()
+            r = np.asarray(fn(ram_dev, coords_dev, atk_dev))
+            ts.append(time.time() - t0)
+        print(f"k={k} times: {[f'{t*1000:.1f}ms' for t in ts]}", flush=True)
+        if k == 1:
+            t1 = min(ts)
+        else:
+            tk = min(ts)
+            print(f"per-read: {(tk - t1) / (k - 1) * 1000:.2f} ms  "
+                  f"(k=1: {t1*1000:.1f} ms incl. overhead)", flush=True)
+
+
+if __name__ == "__main__":
+    main()
