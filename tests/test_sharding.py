@@ -1,0 +1,83 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh
+(SURVEY.md §4 test plan item 5): sharded results must equal single-device
+results exactly (integer arithmetic => bit-exact)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fhe_ram_tpu.params import PARAMS_TEST_SMALL as PAR
+from fhe_ram_tpu.ops.ntt import get_ntt_context
+from fhe_ram_tpu.core import glwe, keys, rng
+from fhe_ram_tpu.ram import address as address_mod
+from fhe_ram_tpu.ram import ram as ram_mod
+from fhe_ram_tpu.parallel import mesh as mesh_mod
+
+
+@pytest.fixture(scope="module")
+def world():
+    assert len(jax.devices()) >= 8, "conftest must force 8 virtual devices"
+    ctx = get_ntt_context(PAR.n, PAR.primes)
+    src = rng.Source(3)
+    sk = rng.ternary_secret(src.split(), PAR.rank, PAR.n, PAR.xs_density)
+    s_ntt = glwe.secret_prepare(ctx, sk)
+    ekp = keys.prepare(PAR, keys.keygen(PAR, sk, src))
+    rnd = np.random.default_rng(21)
+    data = rnd.integers(0, 256, size=PAR.max_addr * PAR.word_size).astype(np.uint8)
+    ram_ct = ram_mod.encrypt_ram(PAR, ctx, s_ntt, data, src)
+    idxs = [1, 17, 100, 255]
+    aps = [address_mod.prepare(ctx, address_mod.encrypt(PAR, ctx, s_ntt, i, src))
+           for i in idxs]
+    return ctx, s_ntt, ekp, data, ram_ct, idxs, aps
+
+
+def test_batched_read_sharded_matches_single(world):
+    ctx, s_ntt, ekp, data, ram_ct, idxs, aps = world
+    mesh = mesh_mod.make_mesh(8, rows=2)
+    coords = mesh_mod.stack_addresses(aps)
+
+    data_sh = mesh_mod.shard_data_rows(mesh, ram_ct)
+    coords_sh = mesh_mod.shard_addr_batch(mesh, coords)
+    atk_sh = jax.device_put(ekp.atk_glwe, mesh_mod.replicated(mesh))
+
+    fn = mesh_mod.batched_read_fn(PAR, mesh)
+    out_sh = np.asarray(fn(data_sh, coords_sh, atk_sh))
+
+    server = ram_mod.FheRam(PAR, ekp)
+    for b, ap in enumerate(aps):
+        out1 = np.asarray(server.read(ram_ct, ap))
+        assert np.array_equal(out_sh[b], out1), f"batch {b} mismatch"
+
+
+def test_row_sharded_read_matches(world):
+    ctx, s_ntt, ekp, data, ram_ct, idxs, aps = world
+    mesh = mesh_mod.make_mesh(8, rows=4)  # RAM has 4 rows at this config
+    fn = mesh_mod.sharded_read_fn(PAR, mesh)
+    data_sh = mesh_mod.shard_data_rows(mesh, ram_ct)
+    atk_sh = jax.device_put(ekp.atk_glwe, mesh_mod.replicated(mesh))
+    out = np.asarray(fn(data_sh, aps[0].coordinates, atk_sh))
+    server = ram_mod.FheRam(PAR, ekp)
+    out1 = np.asarray(server.read(ram_ct, aps[0]))
+    assert np.array_equal(out, out1)
+
+
+def test_sharded_read_decrypts_correctly(world):
+    ctx, s_ntt, ekp, data, ram_ct, idxs, aps = world
+    mesh = mesh_mod.make_mesh(8, rows=2)
+    coords = mesh_mod.stack_addresses(aps)
+    fn = mesh_mod.batched_read_fn(PAR, mesh)
+    out = np.asarray(
+        fn(
+            mesh_mod.shard_data_rows(mesh, ram_ct),
+            mesh_mod.shard_addr_batch(mesh, coords),
+            jax.device_put(ekp.atk_glwe, mesh_mod.replicated(mesh)),
+        )
+    )
+    for b, idx in enumerate(idxs):
+        for i in range(PAR.word_size):
+            want = glwe.cast_u8_signed(int(data[idx * PAR.word_size + i]), PAR.k_pt)
+            ph = glwe.phase(PAR, ctx, s_ntt, jnp.asarray(out[b, i]))
+            val, noise = glwe.decode_coeff0(PAR, np.asarray(ph), want)
+            assert int(val) == want
+            assert noise < -(PAR.k_pt + 1)
