@@ -56,18 +56,43 @@ def main():
     w_dev = jax.device_put(w_ct, tpu)
     server = ram_mod.FheRam(par, keys_dev)
 
-    # warmup / compile
+    # Latency methodology: k reads serialized inside one jitted scan with a
+    # host fetch of a scalar at the end.  (block_until_ready over the remote
+    # axon tunnel does not reliably wait, so naive per-call timing reads as
+    # ~0.1ms async-enqueue time; the scan slope is robust.)
+    from fhe_ram_tpu.ram.ram import read_impl
+    import jax.numpy as jnp
+
+    def k_reads_fn(k):
+        def fn(data_in, coords_in, atk_in):
+            def body(carry, cs):
+                out = read_impl(par, ctx, data_in, cs, atk_in)
+                return carry + jnp.sum(out[:, :, 0, 0]), None
+
+            cs_k = jax.tree.map(lambda c: jnp.broadcast_to(c, (k,) + c.shape), coords_in)
+            acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.int32), cs_k)
+            return acc
+
+        return jax.jit(fn)
+
+    k = int(os.environ.get("BENCH_K", "8"))
+    f1, fk = k_reads_fn(1), k_reads_fn(k)
+    np.asarray(f1(ram_dev, addr_dev.coordinates, keys_dev.atk_glwe))  # compile
+    np.asarray(fk(ram_dev, addr_dev.coordinates, keys_dev.atk_glwe))  # compile
+
+    def best_of(fn, n=3):
+        ts = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            np.asarray(fn(ram_dev, addr_dev.coordinates, keys_dev.atk_glwe))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    t1, tk = best_of(f1), best_of(fk)
+    read_ms = (tk - t1) / (k - 1) * 1000.0
+
     out = server.read(ram_dev, addr_dev)
     jax.block_until_ready(out)
-
-    iters = int(os.environ.get("BENCH_ITERS", "5"))
-    times = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        out = server.read(ram_dev, addr_dev)
-        jax.block_until_ready(out)
-        times.append((time.perf_counter() - t0) * 1000.0)
-    read_ms = float(np.median(times))
 
     # correctness gate: a fast wrong answer is worthless
     with jax.default_device(cpu):
@@ -86,14 +111,19 @@ def main():
         jax.block_until_ready(ram2)
         ram3 = server.write(ram2, tree, w_dev, addr_coeff)
         jax.block_until_ready(ram3)
+        def sync(x):
+            # force completion: tiny dependent fetch (block_until_ready is
+            # unreliable over the tunnel)
+            return float(np.asarray(x[(0,) * (x.ndim - 1)]))
+
         server.pending_write = False
         t0 = time.perf_counter()
         out, ram2, tree = server.read_prepare_write(ram_dev, addr_dev)
-        jax.block_until_ready(ram2)
+        sync(ram2)
         rpw_ms = (time.perf_counter() - t0) * 1000.0
         t0 = time.perf_counter()
         ram3 = server.write(ram2, tree, w_dev, addr_coeff)
-        jax.block_until_ready(ram3)
+        sync(ram3)
         write_ms = (time.perf_counter() - t0) * 1000.0
     except Exception as e:  # pragma: no cover
         print(f"rpw/write bench skipped: {e}", file=sys.stderr)

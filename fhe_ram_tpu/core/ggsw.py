@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from functools import lru_cache
 
+import jax
 import jax.numpy as jnp
 
 from ..params import Params
@@ -107,6 +108,10 @@ def external_product(params: Params, ctx: NTTContext, ct, ggsw_ntt,
             g = g.reshape((P,) + (1,) * lead + (C2, Lg, n))
             acc = acc + mul_mod(dig, g, p, ip)
     acc = reduce_once(acc, p, ip)
-    conv = ntt_inv(ctx, acc)  # [P, ..., C2, Lg, N]
+    # flatten to the NTT's working layout and materialize: avoids a
+    # relayout inside ntt_inv and XLA recompute-fusion of the pointwise
+    # chain into every inverse stage (measured 6x at read shapes)
+    acc = jax.lax.optimization_barrier(acc.reshape((P,) + (-1,) + (n,)))
+    conv = ntt_inv(ctx, acc).reshape((P,) + ct.shape[:-3] + (C2, Lg, n))
     out = crt_fold(ctx.primes, conv, 17, Lout, p, ip)
     return limb_ops.normalize(out)

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from functools import lru_cache
 
+import jax
 import jax.numpy as jnp
 
 from ..params import Params
@@ -93,7 +94,9 @@ def keyswitch(params: Params, ctx: NTTContext, ct, key_ntt,
             k = key_ntt[:, d, i].reshape((P,) + (1,) * lead + (C2, Lk, n))
             acc = acc + mul_mod(dig, k, p, ip)
     acc = reduce_once(acc, p, ip)
-    conv = ntt_inv(ctx, acc)
+    # see ggsw.external_product: materialize in the NTT layout
+    acc = jax.lax.optimization_barrier(acc.reshape((P,) + (-1,) + (n,)))
+    conv = ntt_inv(ctx, acc).reshape((P,) + ct.shape[:-3] + (C2, Lk, n))
     ks = crt_fold(ctx.primes, conv, 17, Lout, p, ip)  # [..., C2, Lout, N]
 
     out_a = -ks[..., :rank, :, :]

@@ -24,6 +24,7 @@ from __future__ import annotations
 from functools import lru_cache
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .modular import mul_mod, reduce_once
@@ -147,6 +148,11 @@ def ntt_fwd(ctx: NTTContext, x):
         s = reduce_once(u + v, p5, ip5)
         d = mul_mod(u - v, ctx.fwd_tw[si][:, None, None, :], p5, ip5)
         x = jnp.stack([s, d], axis=-2).reshape(P, -1, n)
+        # materialize each stage: without the barrier XLA re-fuses stage
+        # producers into every consumer (the butterfly reads each element
+        # twice), recomputing whole chains -- measured 10x slower at
+        # 2^18-read shapes.
+        x = jax.lax.optimization_barrier(x)
 
     return x.reshape((P,) + lead + (n,))
 
@@ -174,6 +180,7 @@ def ntt_inv(ctx: NTTContext, x):
         s = reduce_once(u + t, p5, ip5)
         d = reduce_once(u - t, p5, ip5)
         x = jnp.stack([s, d], axis=-2).reshape(P, -1, n)
+        x = jax.lax.optimization_barrier(x)  # see ntt_fwd
 
     p, inv_p = ctx.consts(3)
     x = mul_mod(x, ctx.inv_psi[:, None, :], p, inv_p)
