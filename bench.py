@@ -114,7 +114,7 @@ def main():
         def sync(x):
             # force completion: tiny dependent fetch (block_until_ready is
             # unreliable over the tunnel)
-            return float(np.asarray(x[(0,) * (x.ndim - 1)]))
+            return float(np.asarray(x[(0,) * x.ndim]))
 
         server.pending_write = False
         t0 = time.perf_counter()

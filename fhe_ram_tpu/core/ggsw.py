@@ -83,6 +83,31 @@ def prepare(ctx: NTTContext, ggsw):
     return ntt_fwd(ctx, ggsw)
 
 
+def external_product_batched(params: Params, ctx: NTTContext, ct, ggsw_ntt,
+                             out_limbs: int | None = None):
+    """Batched GLWE x GGSW where each batch element has its own GGSW.
+
+    ct: int32[B, C, L, N]; ggsw_ntt: int32[P, B, D, C, C2, Lg, N].
+    Used by the VM layer's per-bit CMux chains (vm/)."""
+    P, B, D, C, C2, Lg, n = ggsw_ntt.shape
+    L = ct.shape[-2]
+    assert ct.shape == (B, C, L, n) and D == L
+    Lout = out_limbs if out_limbs is not None else L
+
+    dig_ntt = ntt_fwd(ctx, ct)  # [P, B, C, D, N]
+    p, ip = ctx.consts(5)
+    acc = jnp.zeros((P, B, C2, Lg, n), dtype=I32)
+    for c in range(C):
+        for d in range(D):
+            dig = dig_ntt[:, :, c, d][:, :, None, None, :]
+            acc = acc + mul_mod(dig, ggsw_ntt[:, :, d, c], p, ip)
+    acc = reduce_once(acc, p, ip)
+    acc = jax.lax.optimization_barrier(acc.reshape(P, -1, n))
+    conv = ntt_inv(ctx, acc).reshape(P, B, C2, Lg, n)
+    out = crt_fold(ctx.primes, conv, 17, Lout, p, ip)
+    return limb_ops.normalize(out)
+
+
 def external_product(params: Params, ctx: NTTContext, ct, ggsw_ntt,
                      out_limbs: int | None = None):
     """GLWE(m) x GGSW(mu) -> GLWE(mu*m).

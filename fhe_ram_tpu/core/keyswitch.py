@@ -112,9 +112,13 @@ def automorphism_ks(params: Params, ctx: NTTContext, ct, g: int, key_ntt,
     return keyswitch(params, ctx, ct_g, key_ntt, out_limbs)
 
 
-def trace(params: Params, ctx: NTTContext, ct, auto_keys_ntt: dict):
-    """Normalized full trace: keeps coefficient 0, zeroes 1..N-1
-    (reference trace_inplace(0, log_n), src/ram.rs:457).
+def trace(params: Params, ctx: NTTContext, ct, auto_keys_ntt: dict,
+          keep_log: int = 0):
+    """Normalized partial trace: keeps the 2^keep_log coefficients at
+    multiples of N/2^keep_log, zeroes the rest.  keep_log=0 is the full
+    trace ([c_0, 0, ..., 0], reference trace_inplace(0, log_n),
+    src/ram.rs:457); keep_log matches the reference's `start` argument
+    (partial uses at src/arithmetic.rs:228, src/store.rs:66).
 
     Construction: pre-scale ONCE by 1/N (exact limb shift), then apply
     the unnormalized steps x <- x + sigma_g(x) over the subgroup tower.
@@ -128,8 +132,16 @@ def trace(params: Params, ctx: NTTContext, ct, auto_keys_ntt: dict):
     polynomials -- identically 0 mod 1.  Cost: the pre-shift amplifies
     per-step keyswitch noise by up to N (2^-36 -> ~2^-25 at default
     parameters), still far below the 2^-(k_pt+1) read bound."""
-    ct = limb_ops.normalize(limb_ops.shift_right(ct, params.log_n))
-    for g in params.trace_gal_els:
+    steps = params.log_n - keep_log
+    if steps == 0:
+        return ct
+    shift = steps
+    while shift > 0:
+        s = min(shift, params.base2k - 1)
+        ct = limb_ops.shift_right(ct, s)
+        shift -= s
+    ct = limb_ops.normalize(ct)
+    for g in params.trace_gal_els[:steps]:
         t = automorphism_ks(params, ctx, ct, g, auto_keys_ntt[g],
                             out_limbs=ct.shape[-2])
         ct = limb_ops.normalize(ct + t)

@@ -1,0 +1,269 @@
+"""Homomorphic word circuits: the TPU-native equivalent of
+poulpy-schemes' BDD arithmetic (Add/Sub/Sll/Srl/Sra/Slt/Sltu/And/Or/Xor,
+consumed by the reference at src/arithmetic.rs:84-102).
+
+Everything is built from two primitives:
+
+  * batched CMux  res_i = low_i + bit_i (*) (high_i - low_i)
+    over stacked per-bit GGSWs (one batched external product);
+  * batched slot extraction: all W word slots isolated by one batched
+    partial trace (rotations + trace), enabling shift/splice circuits
+    without per-slot sequential loops (the TPU replacement for BDD
+    traversals -- same results, log/constant depth).
+
+Adders/comparators use a 2-state carry dynamic program evaluated
+MSB->LSB: F_j(c) = "encrypted suffix output given carry-in c at bit j",
+advanced by CMuxes on (a_j, b_j) -- this is exactly the width-2 BDD of
+the carry chain, evaluated with 2 batched external products per bit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..params import Params
+from ..ops.ntt import NTTContext
+from ..ops import limb as limb_ops
+from ..ops import poly
+from ..core import ggsw, keyswitch
+from . import fheuint
+
+I32 = jnp.int32
+
+
+# --------------------------------------------------------------------------
+# primitives
+# --------------------------------------------------------------------------
+
+def cmux(params: Params, ctx: NTTContext, bit_prep, high, low):
+    """low + bit*(high-low), batched: bit_prep [P, B, D, C, C2, Lg, N],
+    high/low [B, C, L, N]."""
+    diff = limb_ops.normalize(high - low)
+    sel = ggsw.external_product_batched(params, ctx, diff, bit_prep)
+    return limb_ops.normalize(low + sel)
+
+
+def ggsw_not(params: Params, bit_prep):
+    """GGSW(1 - bit) from GGSW(bit): GGSW is linear in its message and
+    GGSW(1) is the (noise-free) gadget itself -- in NTT domain the gadget
+    constant's transform, precomputed here."""
+    P, W, D, C, C2, Lg, n = bit_prep.shape
+    from ..ops.ntt import ntt_fwd
+
+    one = np.zeros((D, C, C2, Lg, n), dtype=np.int32)
+    for d in range(D):
+        for c in range(C):
+            one[d, c, c, d, 0] = 1
+    one_ntt = ntt_fwd(get_ctx(params), jnp.asarray(one))  # [P, D, C, C2, Lg, N]
+    return one_ntt[:, None] - bit_prep
+
+
+def get_ctx(params: Params) -> NTTContext:
+    from ..ops.ntt import get_ntt_context
+
+    return get_ntt_context(params.n, params.primes)
+
+
+def extract_slots(params: Params, ctx: NTTContext, word, atk, bits: int = 32):
+    """All W slot values isolated to coefficient 0: [C, L, N] ->
+    [W, C, L, N], via batched rotations + ONE batched full trace."""
+    g = fheuint.gap(params, bits)
+    n = params.n
+    srcs, signs = poly.rotate_batch_tables(n, bits, step=-g)
+    y = jnp.take(word, srcs, axis=-1)  # [C, L, W, N]
+    y = jnp.moveaxis(y, -2, 0) * signs[:, None, None, :]
+    return keyswitch.trace(params, ctx, y, atk)  # [W, C, L, N]
+
+
+def assemble_word(params: Params, slots, bits: int = 32):
+    """Inverse of extract_slots: sum of slot_j * X^(j*gap).
+    slots: [W, C, L, N], each value at coefficient 0."""
+    g = fheuint.gap(params, bits)
+    n = params.n
+    srcs, signs = poly.rotate_batch_tables(n, bits, step=g)
+    y = jnp.take_along_axis(
+        slots, jnp.broadcast_to(srcs[:, None, None, :], slots.shape), axis=-1
+    ) * signs[:, None, None, :]
+    return limb_ops.normalize(jnp.sum(y, axis=0))
+
+
+def _delta_slot(params: Params, j: int, bits: int, value: int = 1):
+    """Trivial GLWE with `value` at slot j (scale 2^-k_pt)."""
+    vals = np.zeros(bits, dtype=np.int64)
+    vals[j] = value
+    return fheuint.trivial_word(params, vals, bits)
+
+
+# --------------------------------------------------------------------------
+# bitwise ops (3 batched CMuxes total)
+# --------------------------------------------------------------------------
+
+def bitwise(params: Params, ctx: NTTContext, op: str, a_prep, b_prep,
+            bits: int = 32):
+    """XOR/AND/OR via the 4-leaf truth table:
+    out_j = CMux(a_j, CMux(b_j, t11, t10), CMux(b_j, t01, t00))."""
+    table = {
+        "xor": (0, 1, 1, 0),
+        "and": (0, 0, 0, 1),
+        "or": (0, 1, 1, 1),
+    }[op]
+    t00, t01, t10, t11 = table
+    C = params.rank + 1
+    n = params.n
+
+    def leaf(v):
+        one = fheuint.trivial_word(params, [v], bits)  # value at slot 0
+        return jnp.broadcast_to(one, (bits,) + one.shape)
+
+    l00, l01, l10, l11 = (leaf(t) for t in (t00, t01, t10, t11))
+    hi = cmux(params, ctx, b_prep, l11, l10)
+    lo = cmux(params, ctx, b_prep, l01, l00)
+    out_slots = cmux(params, ctx, a_prep, hi, lo)  # [W, C, L, N] bit at slot 0
+    return assemble_word(params, out_slots, bits)
+
+
+# --------------------------------------------------------------------------
+# adder / subtractor / comparisons: 2-state carry DP
+# --------------------------------------------------------------------------
+
+def _carry_dp(params: Params, ctx: NTTContext, a_prep, b_prep, bits: int,
+              out_bit, carry_out, final, emit_bits: bool = True):
+    """Generic MSB->LSB 2-state DP.
+
+    out_bit(a, b, c) -> plaintext bit emitted at slot j,
+    carry_out(a, b, c) -> next carry,
+    final(c) -> plaintext contribution at the end of the word (e.g. the
+    comparison result), placed at slot 0... F_W(c) = final(c).
+
+    Returns (F_0(0), F_0(1)): result given initial carry 0 / 1."""
+    C = params.rank + 1
+    n = params.n
+    L = params.limbs_ct
+    F = jnp.stack(
+        [fheuint.trivial_word(params, [final(0)], bits),
+         fheuint.trivial_word(params, [final(1)], bits)], axis=0)  # [2, C, L, N]
+
+    for j in range(bits - 1, -1, -1):
+        # leaves t[a][b][c] = out_bit*Delta_j + F[carry_out]
+        delta = _delta_slot(params, j, bits) if emit_bits else jnp.zeros_like(F[0])
+        t = {}
+        for a in (0, 1):
+            for b in (0, 1):
+                for c in (0, 1):
+                    o = out_bit(a, b, c) if emit_bits else 0
+                    base = F[carry_out(a, b, c)]
+                    t[(a, b, c)] = limb_ops.normalize(base + o * delta)
+        # inner: CMux on b_j, batch 4: (a,c) in {0,1}^2
+        highs = jnp.stack([t[(0, 1, 0)], t[(0, 1, 1)], t[(1, 1, 0)], t[(1, 1, 1)]])
+        lows = jnp.stack([t[(0, 0, 0)], t[(0, 0, 1)], t[(1, 0, 0)], t[(1, 0, 1)]])
+        bj = jnp.broadcast_to(b_prep[:, j : j + 1], (b_prep.shape[0], 4) + b_prep.shape[2:])
+        inner = cmux(params, ctx, bj, highs, lows)  # [4, C, L, N]
+        # outer: CMux on a_j, batch 2 (states c=0,1)
+        aj = jnp.broadcast_to(a_prep[:, j : j + 1], (a_prep.shape[0], 2) + a_prep.shape[2:])
+        F = cmux(params, ctx, aj, inner[2:], inner[:2])  # [2, C, L, N]
+    return F[0], F[1]
+
+
+def add(params: Params, ctx: NTTContext, a_prep, b_prep, bits: int = 32):
+    f0, _ = _carry_dp(params, ctx, a_prep, b_prep, bits,
+                      out_bit=lambda a, b, c: a ^ b ^ c,
+                      carry_out=lambda a, b, c: (a + b + c) >> 1,
+                      final=lambda c: 0)
+    return f0
+
+
+def sub(params: Params, ctx: NTTContext, a_prep, b_prep, bits: int = 32):
+    """a - b = a + ~b + 1: complement b's bits in the table instead."""
+    _, f1 = _carry_dp(params, ctx, a_prep, b_prep, bits,
+                      out_bit=lambda a, b, c: a ^ (1 - b) ^ c,
+                      carry_out=lambda a, b, c: (a + (1 - b) + c) >> 1,
+                      final=lambda c: 0)
+    return f1
+
+
+def sltu(params: Params, ctx: NTTContext, a_prep, b_prep, bits: int = 32):
+    """a < b unsigned: NOT carry-out of a + ~b + 1, result bit at slot 0."""
+    _, f1 = _carry_dp(params, ctx, a_prep, b_prep, bits,
+                      out_bit=lambda a, b, c: 0,
+                      carry_out=lambda a, b, c: (a + (1 - b) + c) >> 1,
+                      final=lambda c: 1 - c, emit_bits=False)
+    return f1
+
+
+def slt(params: Params, ctx: NTTContext, a_prep, b_prep, bits: int = 32):
+    """Signed a < b: same DP with both MSBs complemented (bias trick)."""
+    _, f1 = _carry_dp_msbflip(params, ctx, a_prep, b_prep, bits)
+    return f1
+
+
+def _carry_dp_msbflip(params, ctx, a_prep, b_prep, bits):
+    def ob(a, b, c):
+        return 0
+
+    def final(c):
+        return 1 - c
+
+    # flip a_31 and b_31: at j == bits-1 swap roles in the table
+    C = params.rank + 1
+    F = jnp.stack(
+        [fheuint.trivial_word(params, [final(0)], bits),
+         fheuint.trivial_word(params, [final(1)], bits)], axis=0)
+    for j in range(bits - 1, -1, -1):
+        flip = j == bits - 1
+        t = {}
+        for a in (0, 1):
+            for b in (0, 1):
+                for c in (0, 1):
+                    aa = 1 - a if flip else a
+                    bb = 1 - b if flip else b
+                    t[(a, b, c)] = F[(aa + (1 - bb) + c) >> 1]
+        highs = jnp.stack([t[(0, 1, 0)], t[(0, 1, 1)], t[(1, 1, 0)], t[(1, 1, 1)]])
+        lows = jnp.stack([t[(0, 0, 0)], t[(0, 0, 1)], t[(1, 0, 0)], t[(1, 0, 1)]])
+        bj = jnp.broadcast_to(b_prep[:, j : j + 1], (b_prep.shape[0], 4) + b_prep.shape[2:])
+        inner = cmux(params, ctx, bj, highs, lows)
+        aj = jnp.broadcast_to(a_prep[:, j : j + 1], (a_prep.shape[0], 2) + a_prep.shape[2:])
+        F = cmux(params, ctx, aj, inner[2:], inner[:2])
+    return F[0], F[1]
+
+
+# --------------------------------------------------------------------------
+# shifts: slot extraction + batched barrel CMux
+# --------------------------------------------------------------------------
+
+def word_from_bits(params: Params, ctx: NTTContext, prep, bits: int = 32):
+    """FheUint word GLWE from prepared bits (one batched ext product)."""
+    C = params.rank + 1
+    n = params.n
+    base = jnp.stack([_delta_slot(params, j, bits) for j in range(bits)])
+    zero = jnp.zeros_like(base)
+    slots_sel = cmux(params, ctx, prep, base, zero)
+    # slot j holds bit_j at coefficient j*gap already; just sum
+    return limb_ops.normalize(jnp.sum(slots_sel, axis=0))
+
+
+def shift(params: Params, ctx: NTTContext, word, sh_prep, atk, kind: str,
+          bits: int = 32):
+    """sll/srl/sra by an encrypted 5-bit amount.
+
+    One batched slot extraction, then log2(bits) batched CMux barrel
+    levels on the slot stack (rolls on the stack axis are free)."""
+    W = bits
+    logw = W.bit_length() - 1
+    slots = extract_slots(params, ctx, word, atk, bits)  # [W, C, L, N]
+    zero = jnp.zeros_like(slots[0])
+    for k in range(logw):
+        s = 1 << k
+        if kind == "sll":  # out_j = in_{j-s}, fill low with 0
+            rolled = jnp.concatenate(
+                [jnp.broadcast_to(zero, (s,) + zero.shape), slots[:-s]], axis=0)
+        elif kind == "srl":  # out_j = in_{j+s}, fill high with 0
+            rolled = jnp.concatenate(
+                [slots[s:], jnp.broadcast_to(zero, (s,) + zero.shape)], axis=0)
+        else:  # sra: fill high with the sign slot (current top)
+            top = jnp.broadcast_to(slots[-1], (s,) + zero.shape)
+            rolled = jnp.concatenate([slots[s:], top], axis=0)
+        bk = jnp.broadcast_to(sh_prep[:, k : k + 1], (sh_prep.shape[0], W) + sh_prep.shape[2:])
+        slots = cmux(params, ctx, bk, rolled, slots)
+    return assemble_word(params, slots, bits)
