@@ -246,6 +246,17 @@ PARAMS_TEST_SMALL = Params(
     max_addr=1 << 8,
 )
 
+# VM test config: ring large enough for u32 words (gap = N/32 = 16 >= the
+# 16 store-select cases; the reference's store test also uses N=512,
+# src/store.rs:163).
+PARAMS_TEST_VM = Params(
+    log_n=9,
+    k_pt=3,
+    decomp_n=(3, 3, 3),
+    word_size=2,
+    max_addr=1 << 9,
+)
+
 # Single-level test config (max_addr <= N, n2 == 1).
 PARAMS_TEST_FLAT = Params(
     log_n=6,

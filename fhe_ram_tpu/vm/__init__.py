@@ -1,1 +1,1 @@
-from . import fheuint, circuits  # noqa: F401
+from . import fheuint, circuits, arithmetic, store, conversion  # noqa: F401

@@ -46,18 +46,26 @@ def encrypt_word(params: Params, ctx: NTTContext, s_ntt, value: int,
 
 
 def encrypt_prepared(params: Params, ctx: NTTContext, s_ntt, value: int,
-                     source: rng.Source, bits: int = 32):
+                     source: rng.Source, bits: int = 32,
+                     dnum: int | None = None, limbs: int | None = None):
     """FheUintPrepared: stacked prepared GGSW(bit_j),
-    int32[P, W, D, C, C2, Lg, N]."""
+    int32[P, W, D, C, C2, Lg, N].
+
+    dnum/limbs default to the ct-level GGSW layout; pass
+    (dnum_ggsw, limbs_evk_ggsw) for the GGSW-apply parameterization used
+    by the FheUint->Address conversion (the applying GGSW must carry one
+    digit per limb of the target GGSW's rows, cf. the reference test's
+    k_ggsw_apply > k_ggsw_res at src/conversion.rs:118-137)."""
     digs = []
     for j in range(bits):
         # fresh buffer per bit: jnp.asarray can alias numpy memory
         # zero-copy on CPU, and async dispatch would race with reuse
         mono = np.zeros(params.n, dtype=np.int32)
         mono[0] = (value >> j) & 1
-        digs.append(ggsw.encrypt(params, ctx, s_ntt, jnp.asarray(mono), source))
+        digs.append(ggsw.encrypt(params, ctx, s_ntt, jnp.asarray(mono), source,
+                                 dnum=dnum, limbs=limbs))
     stacked = jnp.stack(digs, axis=0)  # [W, D, C, C2, Lg, N]
-    return jnp.moveaxis(ggsw.prepare(ctx, stacked), 0, 0)  # [P, W, ...]
+    return ggsw.prepare(ctx, stacked)  # [P, W, ...]
 
 
 def decrypt_word(params: Params, ctx: NTTContext, s_ntt, ct,

@@ -1,0 +1,89 @@
+"""VM ALU dispatch + packed-select tests and the encrypted store-select
+(mirrors the reference's exhaustive-combination strategy,
+src/arithmetic.rs:234-409 and src/store.rs:146-333, on 8-bit words)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from fhe_ram_tpu.params import PARAMS_TEST_SMALL as PAR
+from fhe_ram_tpu.ops.ntt import get_ntt_context
+from fhe_ram_tpu.core import glwe, keys, rng
+from fhe_ram_tpu.vm import fheuint, arithmetic, store
+
+BITS = 8
+CTX = get_ntt_context(PAR.n, PAR.primes)
+
+
+@pytest.fixture(scope="module")
+def world():
+    src = rng.Source(41)
+    sk = rng.ternary_secret(src.split(), PAR.rank, PAR.n, PAR.xs_density)
+    s_ntt = glwe.secret_prepare(CTX, sk)
+    ekp = keys.prepare(PAR, keys.keygen(PAR, sk, src))
+    return src, s_ntt, ekp
+
+
+def model_op(op, a, b, bits=BITS):
+    m = (1 << bits) - 1
+    sa = a - (1 << bits) if a >> (bits - 1) else a
+    sb = b - (1 << bits) if b >> (bits - 1) else b
+    sh = b % bits
+    return {
+        "none": 0,
+        "add": (a + b) & m, "sub": (a - b) & m,
+        "xor": a ^ b, "or": a | b, "and": a & b,
+        "slt": int(sa < sb), "sltu": int(a < b),
+        "sll": (a << sh) & m, "srl": a >> sh, "sra": (sa >> sh) & m,
+    }[op]
+
+
+def test_eval_ops_and_select(world):
+    src, s_ntt, ekp = world
+    a, b = 0xB4, 0x2D
+    rs1 = fheuint.encrypt_prepared(PAR, CTX, s_ntt, a, src, BITS)
+    rs2 = fheuint.encrypt_prepared(PAR, CTX, s_ntt, b, src, BITS)
+    ops = ("none", "add", "xor", "sltu")
+    packed = arithmetic.eval_ops(PAR, CTX, rs1, rs2, rs2, ekp.atk_glwe,
+                                 ops=ops, bits=BITS)
+    for op_id, op in enumerate(ops):
+        idp = fheuint.encrypt_prepared(PAR, CTX, s_ntt, op_id, src, BITS)
+        sel = arithmetic.select_rd(PAR, CTX, packed, idp, len(ops),
+                                   ekp.atk_glwe, BITS)
+        got = fheuint.decrypt_word(PAR, CTX, s_ntt, sel, BITS)
+        assert got == model_op(op, a, b), (op, got)
+
+
+def test_select_store_all_combinations():
+    # u32 store semantics need gap = N/32 >= 16 packed cases -> N=512 ring
+    # (same geometry as the reference store test, src/store.rs:163)
+    from fhe_ram_tpu.params import PARAMS_TEST_VM as PV
+
+    ctxv = get_ntt_context(PV.n, PV.primes)
+    src = rng.Source(42)
+    sk = rng.ternary_secret(src.split(), PV.rank, PV.n, PV.xs_density)
+    s_ntt = glwe.secret_prepare(ctxv, sk)
+    ekp = keys.prepare(PV, keys.keygen(PV, sk, src))
+    B32 = 32
+    x, y = 0x12345678, 0x9ABCDEF0
+    xw = fheuint.encrypt_word(PV, ctxv, s_ntt, x, src, B32)
+    yw = fheuint.encrypt_word(PV, ctxv, s_ntt, y, src, B32)
+
+    def model_store(off, op):
+        bx = x.to_bytes(4, "little")
+        by = y.to_bytes(4, "little")
+        out = bytearray(by)
+        if op == 1:  # SB
+            out[off] = bx[0]
+        elif op == 2:  # SH
+            out[off : off + 2] = bx[0:2]
+        elif op == 3:  # SW
+            out[:] = bx
+        return int.from_bytes(bytes(out), "little")
+
+    for off, op in [(0, 0), (0, 1), (0, 2), (0, 3), (1, 1), (2, 1), (2, 2), (3, 1)]:
+        offp = fheuint.encrypt_prepared(PV, ctxv, s_ntt, off, src, B32)
+        opp = fheuint.encrypt_prepared(PV, ctxv, s_ntt, op, src, B32)
+        sel = store.select_store(PV, ctxv, xw, yw, offp, opp, ekp.atk_glwe, B32)
+        got = fheuint.decrypt_word(PV, ctxv, s_ntt, sel, B32)
+        assert got == model_store(off, op), (off, op, hex(got), hex(model_store(off, op)))
