@@ -31,6 +31,24 @@ from .modular import mul_mod, reduce_once
 
 I32 = jnp.int32
 
+# NTT backend: "butterfly" (vector stages) or "fourstep" (MXU matmuls).
+# Must be set process-wide BEFORE any keys/data are transformed (the two
+# backends use different spectrum orders).  Env FHERAM_NTT or set_backend().
+import os as _os
+
+_BACKEND = _os.environ.get("FHERAM_NTT", "butterfly")
+
+
+def set_backend(name: str):
+    """Select the NTT implementation. Call before any jit tracing/keygen."""
+    global _BACKEND
+    assert name in ("butterfly", "fourstep")
+    _BACKEND = name
+
+
+def get_backend() -> str:
+    return _BACKEND
+
 
 def _primitive_root(p: int) -> int:
     """Smallest primitive root mod prime p (offline, numpy/python ints)."""
@@ -127,8 +145,13 @@ def ntt_fwd(ctx: NTTContext, x):
     """Forward negacyclic NTT.
 
     x: int32[..., N] coefficients, |x| <= 2^21 (normalized limbs qualify).
-    Returns int32[P, ..., N] balanced residues (|.| <= 0.501p), DIF order.
+    Returns int32[P, ..., N] balanced residues (|.| <= 0.501p); spectrum
+    order is backend-defined (pointwise-compatible within one backend).
     """
+    if _BACKEND == "fourstep":
+        from .ntt4 import get_ntt4_context, ntt4_fwd
+
+        return ntt4_fwd(get_ntt4_context(ctx.n, ctx.primes), x)
     n = ctx.n
     lead = x.shape[:-1]
     x = x.reshape((1, -1, n))
@@ -165,6 +188,10 @@ def ntt_inv(ctx: NTTContext, x):
     *mod each prime*, balanced (|.| <= 0.501p).  Use ops.crt to
     reconstruct exact integers.
     """
+    if _BACKEND == "fourstep":
+        from .ntt4 import get_ntt4_context, ntt4_inv
+
+        return ntt4_inv(get_ntt4_context(ctx.n, ctx.primes), x)
     n = ctx.n
     P = len(ctx.primes)
     lead = x.shape[1:-1]
