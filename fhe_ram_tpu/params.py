@@ -237,6 +237,10 @@ PARAMS_README_2_18 = Params()
 # Committed-code defaults (parameters.rs:14,21): 2^14 addresses, K_PT = 3.
 PARAMS_CODE_2_14 = Params(k_pt=3, max_addr=1 << 14)
 
+# Scaled RAM (BASELINE.json config 4): 2^24 addresses (64 MB of 4xu8
+# words), deeper packing tree, rows shardable over a mesh.
+PARAMS_2_24 = Params(max_addr=1 << 24)
+
 # Small parameters for fast CPU tests (same limb structure, tiny ring).
 PARAMS_TEST_SMALL = Params(
     log_n=6,

@@ -1,0 +1,86 @@
+"""Batched encrypted reads (BASELINE.json config 3): B independent
+addresses vmapped over shared RAM + keys on one chip; reports reads/s.
+
+Also times the 2^24 row-scaled config (config 4) single read when
+--config 2_24 is given."""
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from functools import partial
+
+from fhe_ram_tpu.params import PARAMS_README_2_18, PARAMS_2_24, PARAMS_CODE_2_14
+from fhe_ram_tpu.ops.ntt import get_ntt_context
+from fhe_ram_tpu.core import glwe, keys, rng
+from fhe_ram_tpu.ram import address as address_mod
+from fhe_ram_tpu.ram import ram as ram_mod
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="2_18")
+    ap.add_argument("--batch", type=int, default=64)
+    args = ap.parse_args()
+    par = {"2_18": PARAMS_README_2_18, "2_24": PARAMS_2_24,
+           "2_14": PARAMS_CODE_2_14}[args.config]
+
+    cpu = jax.devices("cpu")[0]
+    tpu = jax.devices()[0]
+    with jax.default_device(cpu):
+        ctx = get_ntt_context(par.n, par.primes)
+        src = rng.Source(0)
+        sk = rng.ternary_secret(src.split(), par.rank, par.n, par.xs_density)
+        s_ntt = glwe.secret_prepare(ctx, sk)
+        t0 = time.time()
+        ekp = keys.prepare(par, keys.keygen(par, sk, src))
+        print(f"keygen {time.time()-t0:.0f}s", flush=True)
+        rnd = np.random.default_rng(5)
+        data = rnd.integers(0, 256, size=par.max_addr * par.word_size).astype(np.uint8)
+        t0 = time.time()
+        ram_ct = ram_mod.encrypt_ram(par, ctx, s_ntt, data, src)
+        print(f"ram encrypt {time.time()-t0:.0f}s shape={ram_ct.shape}", flush=True)
+        idxs = [int(rnd.integers(0, par.max_addr)) for _ in range(args.batch)]
+        aps = [address_mod.prepare(ctx, address_mod.encrypt(par, ctx, s_ntt, i, src))
+               for i in idxs]
+        coords = tuple(
+            jnp.stack([a.coordinates[i] for a in aps], axis=0)
+            for i in range(len(aps[0].coordinates)))
+
+    ram_dev = jax.device_put(ram_ct, tpu)
+    atk_dev = jax.device_put(ekp.atk_glwe, tpu)
+    coords_dev = jax.device_put(coords, tpu)
+
+    fn = jax.jit(jax.vmap(partial(ram_mod.read_impl, par, ctx),
+                          in_axes=(None, 0, None)))
+
+    t0 = time.time()
+    out = np.asarray(fn(ram_dev, coords_dev, atk_dev))
+    print(f"compile+first: {time.time()-t0:.0f}s out={out.shape}", flush=True)
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = np.asarray(fn(ram_dev, coords_dev, atk_dev))
+        ts.append(time.perf_counter() - t0)
+    t = min(ts)
+    print(f"batch={args.batch}: {t*1000:.0f} ms total, "
+          f"{t/args.batch*1000:.2f} ms/read, {args.batch/t:.1f} reads/s", flush=True)
+
+    # correctness spot-check
+    with jax.default_device(cpu):
+        for b in (0, args.batch - 1):
+            i = 0
+            want = glwe.cast_u8_signed(int(data[idxs[b] * par.word_size + i]), par.k_pt)
+            ph = glwe.phase(par, ctx, s_ntt, jax.device_put(out[b, i], cpu))
+            val, noise = glwe.decode_coeff0(par, np.asarray(ph), want)
+            assert int(val) == want, (b, val, want)
+        print("batch reads CORRECT", flush=True)
+
+
+if __name__ == "__main__":
+    main()
