@@ -42,7 +42,7 @@ _BACKEND = _os.environ.get("FHERAM_NTT", "butterfly")
 def set_backend(name: str):
     """Select the NTT implementation. Call before any jit tracing/keygen."""
     global _BACKEND
-    assert name in ("butterfly", "fourstep")
+    assert name in ("butterfly", "fourstep", "pallas")
     _BACKEND = name
 
 
@@ -152,6 +152,10 @@ def ntt_fwd(ctx: NTTContext, x):
         from .ntt4 import get_ntt4_context, ntt4_fwd
 
         return ntt4_fwd(get_ntt4_context(ctx.n, ctx.primes), x)
+    if _BACKEND == "pallas" and ctx.n == 4096:
+        from .ntt_pallas import get_pallas_context, ntt_fwd_pallas
+
+        return ntt_fwd_pallas(get_pallas_context(ctx.n, ctx.primes), x)
     n = ctx.n
     lead = x.shape[:-1]
     x = x.reshape((1, -1, n))
@@ -192,6 +196,10 @@ def ntt_inv(ctx: NTTContext, x):
         from .ntt4 import get_ntt4_context, ntt4_inv
 
         return ntt4_inv(get_ntt4_context(ctx.n, ctx.primes), x)
+    if _BACKEND == "pallas" and ctx.n == 4096:
+        from .ntt_pallas import get_pallas_context, ntt_inv_pallas
+
+        return ntt_inv_pallas(get_pallas_context(ctx.n, ctx.primes), x)
     n = ctx.n
     P = len(ctx.primes)
     lead = x.shape[1:-1]

@@ -1,0 +1,241 @@
+"""Pallas fused negacyclic NTT kernels (TPU, Mosaic-native).
+
+Why: the jnp butterfly NTT materializes each of the 12 stages to HBM
+(~24 round trips per transform); these kernels run ALL stages in VMEM:
+HBM traffic is one read + one write per transform.
+
+Mosaic-native formulation: data lives as [TB, 64, 64] (i, j) blocks
+(N = 4096 = 64*64, pre-split OUTSIDE the kernel -- Mosaic cannot reshape
+the lane dimension).  The first six DIF stages pair along i, the last
+six along j after one in-VMEM transpose.  Butterflies are expressed with
+sublane ROLLS + masked selects -- no reshapes at all inside the kernel:
+
+    lo half:  out = x + roll(x, -h)             (u + v)
+    hi half:  out = (roll(x, +h) - x) * w       (u - v) * w   [fwd DIF]
+
+with per-stage full [64, 64] twiddle tables (identity in the lo half,
+so the masked-out branch stays bounded) and iota-derived masks.  Rolled
+wrap-around lanes only land where the mask selects the other branch.
+The inverse kernel mirrors the stage order, so fwd/inv are exact
+inverses including the (permuted) spectrum order.  All arithmetic is the
+int32 + float32-Barrett of ops/modular.py.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .ntt import _primitive_root, _center
+
+I32 = jnp.int32
+F32 = jnp.float32
+
+_TB = 32  # batch rows per grid step (VMEM-bounded)
+_R = 64
+
+
+def _mul_mod(a, b, p, ip):
+    a1 = (a + 512) >> 10
+    a0 = a - (a1 << 10)
+    t1 = a1 * b
+    q1 = jnp.rint(t1.astype(F32) * ip).astype(I32)
+    r1 = t1 - q1 * p
+    t = (r1 << 10) + a0 * b
+    q2 = jnp.rint(t.astype(F32) * ip).astype(I32)
+    return t - q2 * p
+
+
+def _reduce(x, p, ip):
+    q = jnp.rint(x.astype(F32) * ip).astype(I32)
+    return x - q * p
+
+
+def _lo_mask(h: int):
+    """[64, 1] bool: (q mod 2h) < h on the sublane axis (h power of 2)."""
+    q = jax.lax.broadcasted_iota(I32, (_R, 1), 0)
+    return (q & h) == 0
+
+
+class NTTPallasContext:
+    """Per-stage full [64, 64] twiddle tables (identity in lo halves)."""
+
+    def __init__(self, n: int, primes: tuple[int, ...]):
+        assert n == _R * _R, "pallas kernel is wired for N=4096"
+        self.n = n
+        self.primes = tuple(primes)
+        P = len(primes)
+
+        twist = np.zeros((P, _R, _R), dtype=np.int64)
+        inv_twist = np.zeros((P, _R, _R), dtype=np.int64)
+        twA = np.ones((P, 6, _R, _R), dtype=np.int64)
+        twAi = np.ones((P, 6, _R, _R), dtype=np.int64)
+        twB = np.ones((P, 6, _R, _R), dtype=np.int64)
+        twBi = np.ones((P, 6, _R, _R), dtype=np.int64)
+
+        for pi, p in enumerate(primes):
+            g = _primitive_root(p)
+            psi = pow(g, (p - 1) // (2 * n), p)
+            assert pow(psi, n, p) == p - 1
+            om = psi * psi % p
+            iom = pow(om, p - 2, p)
+            ipsi = pow(psi, p - 2, p)
+            inv_n = pow(n, p - 2, p)
+
+            idx = np.arange(n)
+            t = np.array([pow(psi, int(k), p) for k in idx])
+            it = np.array([pow(ipsi, int(k), p) * inv_n % p for k in idx])
+            twist[pi] = _center(t, p).reshape(_R, _R)
+            inv_twist[pi] = _center(it, p).reshape(_R, _R)
+
+            # phase A: stage si pairs i-distance hi = 32 >> si (1D stage
+            # h = 64*hi); twiddle at hi-half row q:
+            # w_h^(64*((q mod 2hi) - hi) + j)
+            for si in range(6):
+                hi = 32 >> si
+                h = 64 * hi
+                w = pow(om, n // (2 * h), p)
+                iw = pow(iom, n // (2 * h), p)
+                for q in range(_R):
+                    if (q % (2 * hi)) >= hi:
+                        a_rel = (q % (2 * hi)) - hi
+                        for j in range(_R):
+                            e = 64 * a_rel + j
+                            twA[pi, si, q, j] = pow(w, e, p)
+                            twAi[pi, si, q, j] = pow(iw, e, p)
+            # phase B: stage si pairs j-distance hj = 32 >> si (h = hj);
+            # twiddle exponent = (q mod 2hj) - hj, constant over lanes
+            for si in range(6):
+                hj = 32 >> si
+                w = pow(om, n // (2 * hj), p)
+                iw = pow(iom, n // (2 * hj), p)
+                for q in range(_R):
+                    if (q % (2 * hj)) >= hj:
+                        a_rel = (q % (2 * hj)) - hj
+                        twB[pi, si, q, :] = pow(w, a_rel, p)
+                        twBi[pi, si, q, :] = pow(iw, a_rel, p)
+
+        def c(x):
+            return jnp.asarray(
+                np.stack([_center(x[pi], primes[pi]) for pi in range(P)]).astype(np.int32))
+
+        self.twist = c(twist)
+        self.inv_twist = c(inv_twist)
+        self.twA, self.twAi = c(twA), c(twAi)
+        self.twB, self.twBi = c(twB), c(twBi)
+        self.p_arr = jnp.asarray(np.asarray(primes, dtype=np.int32).reshape(-1, 1))
+        self.ip_arr = jnp.asarray(
+            np.asarray([1.0 / q for q in primes], dtype=np.float32).reshape(-1, 1))
+
+
+@lru_cache(maxsize=4)
+def get_pallas_context(n: int, primes: tuple[int, ...]) -> NTTPallasContext:
+    return NTTPallasContext(n, primes)
+
+
+def _dif_stage(x, h, tw, p, ip):
+    """One DIF stage along axis 1 (sublane) via rolls + masked select."""
+    up = pltpu.roll(x, _R - h, 1)   # up[q] = x[q+h]  (roll is non-negative)
+    dn = pltpu.roll(x, h, 1)        # dn[q] = x[q-h]
+    s = _reduce(x + up, p, ip)
+    d = _mul_mod(dn - x, tw[None], p, ip)
+    return jnp.where(_lo_mask(h)[None], s, d)
+
+
+def _dit_stage(x, h, tw, p, ip):
+    """One inverse (DIT) stage along axis 1."""
+    t = _mul_mod(x, tw[None], p, ip)   # lo rows: tw == 1 -> t == x mod p
+    up = pltpu.roll(t, _R - h, 1)      # t[q+h] at q
+    dn = pltpu.roll(x, h, 1)           # x[q-h] at q
+    s = _reduce(x + up, p, ip)
+    d = _reduce(dn - t, p, ip)
+    return jnp.where(_lo_mask(h)[None], s, d)
+
+
+def _fwd_kernel(p_ref, ip_ref, x_ref, twist_ref, twA_ref, twB_ref, o_ref):
+    pid = pl.program_id(0)
+    p = p_ref[pid, 0]
+    ip = ip_ref[pid, 0]
+    x = _mul_mod(x_ref[...], twist_ref[0][None], p, ip)
+    for si in range(6):
+        x = _dif_stage(x, 32 >> si, twA_ref[0, si], p, ip)
+    x = jnp.swapaxes(x, -1, -2)
+    for si in range(6):
+        x = _dif_stage(x, 32 >> si, twB_ref[0, si], p, ip)
+    o_ref[...] = x[None]
+
+
+def _inv_kernel(p_ref, ip_ref, x_ref, itwist_ref, twAi_ref, twBi_ref, o_ref):
+    pid = pl.program_id(0)
+    p = p_ref[pid, 0]
+    ip = ip_ref[pid, 0]
+    x = x_ref[0]
+    for si in range(6):
+        x = _dit_stage(x, 1 << si, twBi_ref[0, 5 - si], p, ip)
+    x = jnp.swapaxes(x, -1, -2)
+    for si in range(6):
+        x = _dit_stage(x, 1 << si, twAi_ref[0, 5 - si], p, ip)
+    o_ref[...] = _mul_mod(x, itwist_ref[0][None], p, ip)[None]
+
+
+def ntt_fwd_pallas(ctx: NTTPallasContext, x, interpret: bool = False):
+    """x: int32[..., N] (|x| <= 2^21) -> int32[P, ..., N]."""
+    n = ctx.n
+    lead = x.shape[:-1]
+    x = x.reshape(-1, _R, _R)
+    B = x.shape[0]
+    Bp = -(-B // _TB) * _TB
+    if Bp != B:
+        x = jnp.concatenate(
+            [x, jnp.zeros((Bp - B, _R, _R), dtype=x.dtype)], axis=0)
+    P = len(ctx.primes)
+    out = pl.pallas_call(
+        _fwd_kernel,
+        grid=(P, Bp // _TB),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((_TB, _R, _R), lambda p, b: (b, 0, 0)),
+            pl.BlockSpec((1, _R, _R), lambda p, b: (p, 0, 0)),
+            pl.BlockSpec((1, 6, _R, _R), lambda p, b: (p, 0, 0, 0)),
+            pl.BlockSpec((1, 6, _R, _R), lambda p, b: (p, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, _TB, _R, _R), lambda p, b: (p, b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((P, Bp, _R, _R), I32),
+        interpret=interpret,
+    )(ctx.p_arr, ctx.ip_arr, x, ctx.twist, ctx.twA, ctx.twB)
+    return out[:, :B].reshape((P,) + lead + (n,))
+
+
+def ntt_inv_pallas(ctx: NTTPallasContext, x, interpret: bool = False):
+    """x: int32[P, ..., N] balanced (|x| <= 0.501p) -> conv residues."""
+    n = ctx.n
+    P = len(ctx.primes)
+    lead = x.shape[1:-1]
+    x = x.reshape(P, -1, _R, _R)
+    B = x.shape[1]
+    Bp = -(-B // _TB) * _TB
+    if Bp != B:
+        x = jnp.concatenate(
+            [x, jnp.zeros((P, Bp - B, _R, _R), dtype=x.dtype)], axis=1)
+    out = pl.pallas_call(
+        _inv_kernel,
+        grid=(P, Bp // _TB),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, _TB, _R, _R), lambda p, b: (p, b, 0, 0)),
+            pl.BlockSpec((1, _R, _R), lambda p, b: (p, 0, 0)),
+            pl.BlockSpec((1, 6, _R, _R), lambda p, b: (p, 0, 0, 0)),
+            pl.BlockSpec((1, 6, _R, _R), lambda p, b: (p, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, _TB, _R, _R), lambda p, b: (p, b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((P, Bp, _R, _R), I32),
+        interpret=interpret,
+    )(ctx.p_arr, ctx.ip_arr, x, ctx.inv_twist, ctx.twAi, ctx.twBi)
+    return out[:, :B].reshape((P,) + lead + (n,))
