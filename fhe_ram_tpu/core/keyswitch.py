@@ -84,6 +84,25 @@ def keyswitch(params: Params, ctx: NTTContext, ct, key_ntt,
     a = ct[..., :rank, :, :]  # [..., rank, L, N]
     b = ct[..., rank, :, :]   # [..., L, N]
 
+    from ..ops import ntt as ntt_mod
+
+    if ntt_mod.get_backend() == "pallas" and n == 4096:
+        from ..ops.ntt_pallas import get_pallas_context, fused_external_pallas
+
+        pctx = get_pallas_context(n, ctx.primes)
+        lead_shape = ct.shape[:-3]
+        x = a.reshape((-1, rank * D, n))
+        keys = jnp.transpose(key_ntt, (0, 2, 1, 3, 4, 5)).reshape(
+            P, rank * D, C2 * Lk, n)
+        conv = fused_external_pallas(pctx, x, keys)
+        conv = conv.reshape((P,) + lead_shape + (C2, Lk, n))
+        pp, ipp = ctx.consts(conv.ndim)
+        ks = crt_fold(ctx.primes, conv, 17, Lout, pp, ipp)
+        out_a = -ks[..., :rank, :, :]
+        out_b = limb_ops.resize_limbs(b, Lout) - ks[..., rank, :, :]
+        out = jnp.concatenate([out_a, out_b[..., None, :, :]], axis=-3)
+        return limb_ops.normalize(out)
+
     dig_ntt = ntt_fwd(ctx, a)  # [P, ..., rank, D, N]
     lead = dig_ntt.ndim - 4
     p, ip = ctx.consts(lead + 4)

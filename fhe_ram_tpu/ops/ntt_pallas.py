@@ -138,23 +138,31 @@ def get_pallas_context(n: int, primes: tuple[int, ...]) -> NTTPallasContext:
     return NTTPallasContext(n, primes)
 
 
+def _bshape(x, arr):
+    """Broadcast a [64, 64]/[64, 1] table over x's leading dims."""
+    return arr.reshape((1,) * (x.ndim - 2) + arr.shape)
+
+
 def _dif_stage(x, h, tw, p, ip):
-    """One DIF stage along axis 1 (sublane) via rolls + masked select."""
-    up = pltpu.roll(x, _R - h, 1)   # up[q] = x[q+h]  (roll is non-negative)
-    dn = pltpu.roll(x, h, 1)        # dn[q] = x[q-h]
+    """One DIF stage along the sublane axis (-2) via rolls + masked
+    select; works for any leading dims."""
+    ax = x.ndim - 2
+    up = pltpu.roll(x, _R - h, ax)   # up[q] = x[q+h]  (roll is non-negative)
+    dn = pltpu.roll(x, h, ax)        # dn[q] = x[q-h]
     s = _reduce(x + up, p, ip)
-    d = _mul_mod(dn - x, tw[None], p, ip)
-    return jnp.where(_lo_mask(h)[None], s, d)
+    d = _mul_mod(dn - x, _bshape(x, tw), p, ip)
+    return jnp.where(_bshape(x, _lo_mask(h)), s, d)
 
 
 def _dit_stage(x, h, tw, p, ip):
-    """One inverse (DIT) stage along axis 1."""
-    t = _mul_mod(x, tw[None], p, ip)   # lo rows: tw == 1 -> t == x mod p
-    up = pltpu.roll(t, _R - h, 1)      # t[q+h] at q
-    dn = pltpu.roll(x, h, 1)           # x[q-h] at q
+    """One inverse (DIT) stage along the sublane axis (-2)."""
+    ax = x.ndim - 2
+    t = _mul_mod(x, _bshape(x, tw), p, ip)  # lo rows: tw == 1 -> t == x mod p
+    up = pltpu.roll(t, _R - h, ax)          # t[q+h] at q
+    dn = pltpu.roll(x, h, ax)               # x[q-h] at q
     s = _reduce(x + up, p, ip)
     d = _reduce(dn - t, p, ip)
-    return jnp.where(_lo_mask(h)[None], s, d)
+    return jnp.where(_bshape(x, _lo_mask(h)), s, d)
 
 
 def _fwd_kernel(p_ref, ip_ref, x_ref, twist_ref, twA_ref, twB_ref, o_ref):
@@ -239,3 +247,88 @@ def ntt_inv_pallas(ctx: NTTPallasContext, x, interpret: bool = False):
         interpret=interpret,
     )(ctx.p_arr, ctx.ip_arr, x, ctx.inv_twist, ctx.twAi, ctx.twBi)
     return out[:, :B].reshape((P,) + lead + (n,))
+
+
+# --------------------------------------------------------------------------
+# fully fused external product / keyswitch kernel:
+# fwd NTT (all digits) -> pointwise VMP -> inverse NTT, one VMEM pass
+# --------------------------------------------------------------------------
+
+_TBR = 4  # ct rows per grid step in the fused kernel
+
+
+def _fused_kernel_factory(T: int, M: int):
+    def kernel(p_ref, ip_ref, x_ref, k_ref, twist_ref, twA_ref, twB_ref,
+               itwist_ref, twAi_ref, twBi_ref, o_ref):
+        pid = pl.program_id(0)
+        p = p_ref[pid, 0]
+        ip = ip_ref[pid, 0]
+        # forward transform of all T digit polys: [TBR, T, 64, 64]
+        x = _mul_mod(x_ref[...], twist_ref[0][None, None], p, ip)
+        for si in range(6):
+            x = _dif_stage(x, 32 >> si, twA_ref[0, si], p, ip)
+        x = jnp.swapaxes(x, -1, -2)
+        for si in range(6):
+            x = _dif_stage(x, 32 >> si, twB_ref[0, si], p, ip)
+        # pointwise VMP + inverse transform per output poly
+        for m in range(M):
+            acc = None
+            for t in range(T):
+                term = _mul_mod(x[:, t], k_ref[0, t, m][None], p, ip)
+                acc = term if acc is None else acc + term
+            y = _reduce(acc, p, ip)
+            for si in range(6):
+                y = _dit_stage(y, 1 << si, twBi_ref[0, 5 - si], p, ip)
+            y = jnp.swapaxes(y, -1, -2)
+            for si in range(6):
+                y = _dit_stage(y, 1 << si, twAi_ref[0, 5 - si], p, ip)
+            o_ref[0, :, m] = _mul_mod(y, itwist_ref[0][None], p, ip)
+
+    return kernel
+
+
+def fused_external_pallas(ctx: NTTPallasContext, x, keys_ntt,
+                          interpret: bool = False):
+    """One-kernel external product core.
+
+    x: int32[B, T, N] normalized gadget digits (coefficient domain),
+    keys_ntt: int32[P, T, M, N] prepared key rows (this kernel's
+    spectrum order), both with N = 4096.
+    Returns int32[P, B, M, N]: exact convolution residues
+    sum_t x[b, t] (*) key[t, m], balanced -- feed to ops.crt.crt_fold.
+
+    Replaces the ntt_fwd -> pointwise -> ntt_inv chain of
+    core/ggsw.external_product / core/keyswitch.keyswitch with a single
+    VMEM-resident pass (HBM traffic = digits in + keys + conv out)."""
+    n = ctx.n
+    B, T, n_ = x.shape
+    P, T2, M, n3 = keys_ntt.shape
+    assert n_ == n and n3 == n and T2 == T
+    x = x.reshape(B, T, _R, _R)
+    Bp = -(-B // _TBR) * _TBR
+    if Bp != B:
+        x = jnp.concatenate(
+            [x, jnp.zeros((Bp - B, T, _R, _R), dtype=x.dtype)], axis=0)
+    k4 = keys_ntt.reshape(P, T, M, _R, _R)
+    out = pl.pallas_call(
+        _fused_kernel_factory(T, M),
+        grid=(P, Bp // _TBR),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((_TBR, T, _R, _R), lambda p, b: (b, 0, 0, 0)),
+            pl.BlockSpec((1, T, M, _R, _R), lambda p, b: (p, 0, 0, 0, 0)),
+            pl.BlockSpec((1, _R, _R), lambda p, b: (p, 0, 0)),
+            pl.BlockSpec((1, 6, _R, _R), lambda p, b: (p, 0, 0, 0)),
+            pl.BlockSpec((1, 6, _R, _R), lambda p, b: (p, 0, 0, 0)),
+            pl.BlockSpec((1, _R, _R), lambda p, b: (p, 0, 0)),
+            pl.BlockSpec((1, 6, _R, _R), lambda p, b: (p, 0, 0, 0)),
+            pl.BlockSpec((1, 6, _R, _R), lambda p, b: (p, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, _TBR, M, _R, _R),
+                               lambda p, b: (p, b, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((P, Bp, M, _R, _R), I32),
+        interpret=interpret,
+    )(ctx.p_arr, ctx.ip_arr, x, k4, ctx.twist, ctx.twA, ctx.twB,
+      ctx.inv_twist, ctx.twAi, ctx.twBi)
+    return out[:, :B].reshape(P, B, M, n)

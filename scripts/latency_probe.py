@@ -5,6 +5,7 @@ Robust against async-dispatch timing artifacts (block_until_ready over
 the axon tunnel does not reliably wait)."""
 
 import argparse
+import os
 import sys
 import time
 
@@ -31,7 +32,14 @@ def main():
 
     cpu = jax.devices("cpu")[0]
     tpu = jax.devices()[0]
-    with jax.default_device(cpu):
+    import contextlib
+    # the pallas NTT backend cannot lower on CPU, and client-side
+    # transforms must share the server's spectrum order -> run client
+    # ops on the TPU when it is selected
+    client_dev = (jax.default_device(cpu)
+                  if os.environ.get("FHERAM_NTT") != "pallas"
+                  else contextlib.nullcontext())
+    with client_dev:
         ctx = get_ntt_context(par.n, par.primes)
         src = rng.Source(0)
         sk = rng.ternary_secret(src.split(), par.rank, par.n, par.xs_density)
