@@ -15,6 +15,9 @@ import os
 import sys
 import time
 
+# fused-Pallas NTT path by default (FHERAM_NTT=butterfly to compare)
+os.environ.setdefault("FHERAM_NTT", "pallas")
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
@@ -95,8 +98,8 @@ def main():
     jax.block_until_ready(out)
 
     # correctness gate: a fast wrong answer is worthless
-    with jax.default_device(cpu):
-        out_cpu = jax.device_put(out, cpu)
+    with client_ctx():
+        out_cpu = out
         for i in range(par.word_size):
             want = glwe.cast_u8_signed(int(data[idx * par.word_size + i]), par.k_pt)
             ph = glwe.phase(par, ctx, s_ntt, out_cpu[i])
