@@ -37,7 +37,17 @@ def main():
     cpu = jax.devices("cpu")[0]
     tpu = jax.devices()[0]
 
-    with jax.default_device(cpu):
+    import contextlib
+
+    def client_ctx():
+        # the pallas NTT backend cannot lower on CPU, and client-side
+        # transforms must share the server's spectrum order -> run client
+        # ops on the TPU when it is selected
+        if os.environ.get("FHERAM_NTT") != "pallas":
+            return jax.default_device(cpu)
+        return contextlib.nullcontext()
+
+    with client_ctx():
         ctx = get_ntt_context(par.n, par.primes)
         src = rng.Source(0)
         sk = rng.ternary_secret(src.split(), par.rank, par.n, par.xs_density)

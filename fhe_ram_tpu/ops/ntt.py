@@ -141,6 +141,28 @@ def get_ntt_context(n: int, primes: tuple[int, ...]) -> NTTContext:
     return NTTContext(n, primes)
 
 
+@lru_cache(maxsize=4)
+def _pallas_fwd_jit(n: int, primes: tuple[int, ...]):
+    # jit wrapper: eager pallas_call dispatch mis-lowers on the axon
+    # platform (falls back to the CPU rule); under jit it targets TPU
+    import jax as _jax
+
+    from .ntt_pallas import get_pallas_context, ntt_fwd_pallas
+
+    ctx = get_pallas_context(n, primes)
+    return _jax.jit(lambda x: ntt_fwd_pallas(ctx, x))
+
+
+@lru_cache(maxsize=4)
+def _pallas_inv_jit(n: int, primes: tuple[int, ...]):
+    import jax as _jax
+
+    from .ntt_pallas import get_pallas_context, ntt_inv_pallas
+
+    ctx = get_pallas_context(n, primes)
+    return _jax.jit(lambda x: ntt_inv_pallas(ctx, x))
+
+
 def ntt_fwd(ctx: NTTContext, x):
     """Forward negacyclic NTT.
 
@@ -153,9 +175,7 @@ def ntt_fwd(ctx: NTTContext, x):
 
         return ntt4_fwd(get_ntt4_context(ctx.n, ctx.primes), x)
     if _BACKEND == "pallas" and ctx.n == 4096:
-        from .ntt_pallas import get_pallas_context, ntt_fwd_pallas
-
-        return ntt_fwd_pallas(get_pallas_context(ctx.n, ctx.primes), x)
+        return _pallas_fwd_jit(ctx.n, ctx.primes)(x)
     n = ctx.n
     lead = x.shape[:-1]
     x = x.reshape((1, -1, n))
@@ -197,9 +217,7 @@ def ntt_inv(ctx: NTTContext, x):
 
         return ntt4_inv(get_ntt4_context(ctx.n, ctx.primes), x)
     if _BACKEND == "pallas" and ctx.n == 4096:
-        from .ntt_pallas import get_pallas_context, ntt_inv_pallas
-
-        return ntt_inv_pallas(get_pallas_context(ctx.n, ctx.primes), x)
+        return _pallas_inv_jit(ctx.n, ctx.primes)(x)
     n = ctx.n
     P = len(ctx.primes)
     lead = x.shape[1:-1]
