@@ -6,6 +6,8 @@ Usage: python scripts/smoke_tpu.py [--config 2_18|2_14] [--writes]
 """
 
 import argparse
+import contextlib
+import os
 import sys
 import time
 
@@ -34,7 +36,13 @@ def main():
     tpu = jax.devices()[0]
     print("tpu device:", tpu, flush=True)
 
-    with jax.default_device(cpu):
+    def client_ctx():
+        # pallas backend cannot lower on CPU -> client ops on TPU then
+        if os.environ.get("FHERAM_NTT") == "pallas":
+            return contextlib.nullcontext()
+        return jax.default_device(cpu)
+
+    with client_ctx():
         t0 = time.time()
         ctx = get_ntt_context(par.n, par.primes)
         src = rng.Source(0)
@@ -81,7 +89,7 @@ def main():
         times.append(time.time() - t0)
     print(f"read times: {[f'{t*1000:.1f}ms' for t in times]}", flush=True)
 
-    with jax.default_device(cpu):
+    with client_ctx():
         out_cpu = jax.device_put(out, cpu)
         ok = True
         for i in range(par.word_size):
@@ -99,7 +107,7 @@ def main():
         jax.block_until_ready(ram2)
         print(f"rpw compile+first: {time.time()-t0:.1f}s", flush=True)
 
-        with jax.default_device(cpu):
+        with client_ctx():
             new_word = rnd.integers(0, 256, size=par.word_size).astype(np.uint8)
             w_ct = ram_mod.encrypt_write_word(par, ctx, s_ntt, new_word, src)
         w_dev = jax.device_put(w_ct, tpu)
@@ -121,7 +129,7 @@ def main():
         print(f"rpw: {t_rpw*1000:.1f}ms write: {t_w*1000:.1f}ms", flush=True)
 
         out2 = server.read(ram4, addr_dev)
-        with jax.default_device(cpu):
+        with client_ctx():
             out2_cpu = jax.device_put(out2, cpu)
             ok = True
             for i in range(par.word_size):
