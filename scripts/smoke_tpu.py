@@ -90,7 +90,8 @@ def main():
     print(f"read times: {[f'{t*1000:.1f}ms' for t in times]}", flush=True)
 
     with client_ctx():
-        out_cpu = jax.device_put(out, cpu)
+        out_cpu = (out if os.environ.get("FHERAM_NTT") == "pallas"
+                   else jax.device_put(out, cpu))
         ok = True
         for i in range(par.word_size):
             want = glwe.cast_u8_signed(int(data[idx * par.word_size + i]), par.k_pt)
@@ -130,7 +131,8 @@ def main():
 
         out2 = server.read(ram4, addr_dev)
         with client_ctx():
-            out2_cpu = jax.device_put(out2, cpu)
+            out2_cpu = (out2 if os.environ.get("FHERAM_NTT") == "pallas"
+                        else jax.device_put(out2, cpu))
             ok = True
             for i in range(par.word_size):
                 want = glwe.cast_u8_signed(int(new_word[i]), par.k_pt)
