@@ -104,6 +104,14 @@ def main():
     t1, tk = best_of(f1), best_of(fk)
     read_ms = (tk - t1) / (k - 1) * 1000.0
 
+    def best_cycle(fn, n=3):
+        ts = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            np.asarray(fn(ram_dev))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
     out = server.read(ram_dev, addr_dev)
     jax.block_until_ready(out)
 
@@ -117,29 +125,34 @@ def main():
             assert int(val) == want, f"bench correctness failure: {val} != {want}"
             assert noise < -(par.k_pt + 1), f"noise bound violated: {noise}"
 
-    # full read-modify-write cycle (compile + one timed run)
-    rpw_ms = write_ms = None
+    # full read-modify-write cycle, chained scan-slope (k cycles in one
+    # jit, each cycle's RAM feeding the next)
+    rmw_ms = None
     try:
-        out, ram2, tree = server.read_prepare_write(ram_dev, addr_dev)
-        jax.block_until_ready(ram2)
-        ram3 = server.write(ram2, tree, w_dev, addr_coeff)
-        jax.block_until_ready(ram3)
-        def sync(x):
-            # force completion: tiny dependent fetch (block_until_ready is
-            # unreliable over the tunnel)
-            return float(np.asarray(x[(0,) * x.ndim]))
+        from fhe_ram_tpu.ram.ram import rpw_impl, write_impl
 
-        server.pending_write = False
-        t0 = time.perf_counter()
-        out, ram2, tree = server.read_prepare_write(ram_dev, addr_dev)
-        sync(ram2)
-        rpw_ms = (time.perf_counter() - t0) * 1000.0
-        t0 = time.perf_counter()
-        ram3 = server.write(ram2, tree, w_dev, addr_coeff)
-        sync(ram3)
-        write_ms = (time.perf_counter() - t0) * 1000.0
+        coords_p = addr_dev.coordinates
+        coords_c = addr_coeff.coordinates
+
+        def k_cycles(k):
+            def fn(d0):
+                def body(d, _):
+                    o, d2, tree = rpw_impl(par, ctx, d, coords_p,
+                                           keys_dev.atk_glwe)
+                    d3 = write_impl(par, ctx, d2, tree, w_dev, coords_c,
+                                    keys_dev)
+                    return d3, jnp.sum(o[:, :, 0, 0])
+                d_end, outs = jax.lax.scan(body, d0, None, length=k)
+                return jnp.sum(outs) + d_end[0, 0, 0, 0, 0]
+            return jax.jit(fn)
+
+        c1, c2 = k_cycles(1), k_cycles(2)
+        np.asarray(c1(ram_dev)); np.asarray(c2(ram_dev))  # compile
+        t1 = min(best_cycle(c1) for _ in range(1))
+        t2 = min(best_cycle(c2) for _ in range(1))
+        rmw_ms = (t2 - t1) * 1000.0
     except Exception as e:  # pragma: no cover
-        print(f"rpw/write bench skipped: {e}", file=sys.stderr)
+        print(f"rmw bench skipped: {e}", file=sys.stderr)
 
     result = {
         "metric": "encrypted_read_latency_2^18_4xu8_1chip",
@@ -147,9 +160,9 @@ def main():
         "unit": "ms",
         "vs_baseline": round(BASELINE_READ_MS / read_ms, 2),
     }
-    if rpw_ms is not None and write_ms is not None:
-        result["rpw_plus_write_ms"] = round(rpw_ms + write_ms, 3)
-        result["write_vs_baseline"] = round(BASELINE_WRITE_MS / (rpw_ms + write_ms), 2)
+    if rmw_ms is not None:
+        result["rpw_plus_write_ms"] = round(rmw_ms, 3)
+        result["write_vs_baseline"] = round(BASELINE_WRITE_MS / rmw_ms, 2)
     print(json.dumps(result))
 
 
