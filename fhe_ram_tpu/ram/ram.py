@@ -212,8 +212,10 @@ class FheRam:
 
         p, c = params, self.ctx
         self._read = jax.jit(partial(read_impl, p, c))
-        self._rpw = jax.jit(partial(rpw_impl, p, c))
-        self._write = jax.jit(partial(write_impl, p, c))
+        # donate the RAM state buffers: rpw/write replace them, and at
+        # large geometries (2^24: 1.6 GB) the copy would double HBM use
+        self._rpw = jax.jit(partial(rpw_impl, p, c), donate_argnums=(0,))
+        self._write = jax.jit(partial(write_impl, p, c), donate_argnums=(0, 1))
         # batched reads: vmap over a leading address axis (keys/data shared)
         self._read_batch = jax.jit(
             jax.vmap(partial(read_impl, p, c), in_axes=(None, 0, None))
