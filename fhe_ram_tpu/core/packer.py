@@ -35,6 +35,7 @@ coefficient j (matching the reference's normalized packer).
 
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
 
 from ..params import Params
@@ -44,6 +45,8 @@ from ..ops import poly
 from . import keyswitch
 
 I32 = jnp.int32
+
+_KS_CHUNK = 512  # max ct count per batched merge keyswitch
 
 
 def pack(params: Params, ctx: NTTContext, cts, auto_keys_ntt: dict):
@@ -67,7 +70,21 @@ def pack(params: Params, ctx: NTTContext, cts, auto_keys_ntt: dict):
         xb = poly.rotate(B, t)
         u = A + xb
         v = A - xb
-        w = keyswitch.automorphism_ks(params, ctx, v, g, auto_keys_ntt[g],
-                                      out_limbs=v.shape[-2])
+        # keyswitch in bounded slices: at huge geometries (2^24: first
+        # merge level has 2048x4 pairs) a single batched keyswitch's
+        # transient conv tensors would blow HBM
+        nb = int(np.prod(v.shape[:-3]))
+        if nb <= _KS_CHUNK:
+            w = keyswitch.automorphism_ks(params, ctx, v, g, auto_keys_ntt[g],
+                                          out_limbs=v.shape[-2])
+        else:
+            step = max(1, _KS_CHUNK // max(1, nb // v.shape[0]))
+            parts = [
+                keyswitch.automorphism_ks(params, ctx, v[r0 : r0 + step], g,
+                                          auto_keys_ntt[g],
+                                          out_limbs=v.shape[-2])
+                for r0 in range(0, v.shape[0], step)
+            ]
+            w = jnp.concatenate(parts, axis=0)
         cts = limb_ops.normalize(u + w)
     return cts[0]

@@ -104,13 +104,32 @@ def _pack_rows(params: Params, ctx: NTTContext, cur, atk):
     return jnp.stack(outs, axis=1)
 
 
+# max ct rows per external-product slice: caps the transient NTT/conv
+# intermediates (~B * 8 limb-polys * 3 primes * 16KB each) so very large
+# geometries (2^24: 16384 rows) fit single-chip HBM; the slices are
+# sequential in the schedule and XLA reuses their buffers.
+_PRODUCT_CHUNK_ROWS = 1024
+
+
+def _chunked_product(params: Params, ctx: NTTContext, cur, coord):
+    W, R = cur.shape[0], cur.shape[1]
+    if W * R <= _PRODUCT_CHUNK_ROWS:
+        return address_mod.coordinate_product(params, ctx, cur, coord)
+    step = max(1, _PRODUCT_CHUNK_ROWS // W)
+    outs = []
+    for r0 in range(0, R, step):
+        outs.append(address_mod.coordinate_product(
+            params, ctx, cur[:, r0 : r0 + step], coord))
+    return jnp.concatenate(outs, axis=1)
+
+
 def read_impl(params: Params, ctx: NTTContext, data, coords, atk):
     """Encrypted read (reference SubRam::read, src/ram.rs:382-459), all
     subrams batched.  coords: tuple of prepared coordinates."""
     n2 = len(coords)
     cur = data
     for i in range(n2 - 1):
-        cur = address_mod.coordinate_product(params, ctx, cur, coords[i])
+        cur = _chunked_product(params, ctx, cur, coords[i])
         cur = _pack_rows(params, ctx, cur, atk)
     cur = address_mod.coordinate_product(params, ctx, cur[:, 0], coords[n2 - 1])
     return keyswitch.trace(params, ctx, cur, atk)  # [W, C, L, N]
@@ -123,7 +142,7 @@ def rpw_impl(params: Params, ctx: NTTContext, data, coords, atk):
     levels = []
     cur = data
     for i in range(n2):
-        cur = address_mod.coordinate_product(params, ctx, cur, coords[i])
+        cur = _chunked_product(params, ctx, cur, coords[i])
         levels.append(cur)
         if i < n2 - 1:
             cur = _pack_rows(params, ctx, cur, atk)
@@ -191,7 +210,7 @@ def write_impl(params: Params, ctx: NTTContext, data, tree, w, addr_coords,
 
     # last step: undo the base-level rotation (src/ram.rs:634-649)
     inv0 = _invert_coordinate(params, ctx, addr_coords[0], keys)
-    return address_mod.coordinate_product(params, ctx, levels[0], inv0)
+    return _chunked_product(params, ctx, levels[0], inv0)
 
 
 # --------------------------------------------------------------------------
