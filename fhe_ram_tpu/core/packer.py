@@ -36,6 +36,7 @@ coefficient j (matching the reference's normalized packer).
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..params import Params
@@ -78,13 +79,15 @@ def pack(params: Params, ctx: NTTContext, cts, auto_keys_ntt: dict):
             w = keyswitch.automorphism_ks(params, ctx, v, g, auto_keys_ntt[g],
                                           out_limbs=v.shape[-2])
         else:
+            # sequential lax.map slices (see ram._chunked_product note)
             step = max(1, _KS_CHUNK // max(1, nb // v.shape[0]))
-            parts = [
-                keyswitch.automorphism_ks(params, ctx, v[r0 : r0 + step], g,
-                                          auto_keys_ntt[g],
-                                          out_limbs=v.shape[-2])
-                for r0 in range(0, v.shape[0], step)
-            ]
-            w = jnp.concatenate(parts, axis=0)
+            assert v.shape[0] % step == 0, (v.shape, step)
+            sliced = v.reshape(v.shape[0] // step, step, *v.shape[1:])
+            w = jax.lax.map(
+                lambda s: keyswitch.automorphism_ks(
+                    params, ctx, s, g, auto_keys_ntt[g],
+                    out_limbs=v.shape[-2]),
+                sliced)
+            w = w.reshape(v.shape)
         cts = limb_ops.normalize(u + w)
     return cts[0]

@@ -115,12 +115,17 @@ def _chunked_product(params: Params, ctx: NTTContext, cur, coord):
     W, R = cur.shape[0], cur.shape[1]
     if W * R <= _PRODUCT_CHUNK_ROWS:
         return address_mod.coordinate_product(params, ctx, cur, coord)
+    # lax.map (not an unrolled python loop): XLA's scheduler interleaves
+    # independent unrolled slices and keeps all their temps live; the
+    # sequential loop reuses one slice's buffers.
     step = max(1, _PRODUCT_CHUNK_ROWS // W)
-    outs = []
-    for r0 in range(0, R, step):
-        outs.append(address_mod.coordinate_product(
-            params, ctx, cur[:, r0 : r0 + step], coord))
-    return jnp.concatenate(outs, axis=1)
+    assert R % step == 0, (R, step)
+    sliced = cur.reshape(cur.shape[0], R // step, step, *cur.shape[2:])
+    sliced = jnp.moveaxis(sliced, 1, 0)  # [nslices, W, step, C, L, N]
+    out = jax.lax.map(
+        lambda s: address_mod.coordinate_product(params, ctx, s, coord), sliced)
+    return jnp.moveaxis(out, 0, 1).reshape(
+        cur.shape[0], R, *out.shape[3:])
 
 
 def read_impl(params: Params, ctx: NTTContext, data, coords, atk):
