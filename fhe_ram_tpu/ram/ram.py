@@ -189,29 +189,36 @@ def write_impl(params: Params, ctx: NTTContext, data, tree, w, addr_coords,
     n2 = len(addr_coords)
     levels = [data] + list(tree)
 
-    # first step: root <- root - TRACE(root) + w   (src/ram.rs:544-577)
+    # first step (src/ram.rs:544-577): the reference computes
+    # root <- root - TRACE(root) + w.  We additionally carry the DELTA
+    # (new root - old root): the mid steps then ADD extracted deltas to
+    # the parent rows instead of the reference's zero-slot-and-replace
+    # (ct_hi - T(ct_hi) + T(ct_lo)).  Same plaintexts -- slot m changes
+    # by (w - old) only at the written slot -- but it halves the trace
+    # batch and leaves untouched rows' noise untouched.
     root = levels[-1][:, 0]  # [W, C, L, N]
     t = keyswitch.trace(params, ctx, root, atk)
-    root = limb_ops.normalize(root - t + w)
-    levels[-1] = levels[-1].at[:, 0].set(root)
+    delta = limb_ops.normalize(w - t)          # new root - old root
+    levels[-1] = levels[-1].at[:, 0].add(delta)
+    deltas = delta[:, None]  # [W, R_last(=1), C, L, N]
 
     # mid steps (src/ram.rs:579-632), batched over slots
     for i in range(n2 - 2, -1, -1):
         inv = _invert_coordinate(params, ctx, addr_coords[i + 1], keys)
         hi = levels[i]
-        lo = levels[i + 1]
-        chunks = lo.shape[1]
+        chunks = deltas.shape[1]
         new_chunks = []
+        delta_next = []
         for j in range(chunks):
-            ct_lo = address_mod.coordinate_product(params, ctx, lo[:, j], inv)
+            d_lo = address_mod.coordinate_product(params, ctx, deltas[:, j], inv)
             chunk = hi[:, j * n : (j + 1) * n]  # [W, Rc, C, L, N]
             Rc = chunk.shape[1]
-            rot = _rotate_stack(ct_lo, Rc)  # [W, Rc, C, L, N]
-            both = jnp.concatenate([chunk, rot], axis=1)
-            tboth = keyswitch.trace(params, ctx, both, atk)
-            t_hi, t_lo = tboth[:, :Rc], tboth[:, Rc:]
-            new_chunks.append(limb_ops.normalize(chunk - t_hi + t_lo))
+            rot = _rotate_stack(d_lo, Rc)  # [W, Rc, C, L, N]
+            t_d = keyswitch.trace(params, ctx, rot, atk)  # extracted deltas
+            new_chunks.append(limb_ops.normalize(chunk + t_d))
+            delta_next.append(t_d)
         levels[i] = jnp.concatenate(new_chunks, axis=1)
+        deltas = jnp.concatenate(delta_next, axis=1)
 
     # last step: undo the base-level rotation (src/ram.rs:634-649)
     inv0 = _invert_coordinate(params, ctx, addr_coords[0], keys)
