@@ -81,7 +81,8 @@ def pack(params: Params, ctx: NTTContext, cts, auto_keys_ntt: dict):
         else:
             # sequential lax.map slices (see ram._chunked_product note)
             step = max(1, _KS_CHUNK // max(1, nb // v.shape[0]))
-            assert v.shape[0] % step == 0, (v.shape, step)
+            step = 1 << (step.bit_length() - 1)  # v.shape[0] is a power of 2
+            step = min(step, v.shape[0])
             sliced = v.reshape(v.shape[0] // step, step, *v.shape[1:])
             w = jax.lax.map(
                 lambda s: keyswitch.automorphism_ks(

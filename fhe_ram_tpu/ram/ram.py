@@ -119,7 +119,12 @@ def _chunked_product(params: Params, ctx: NTTContext, cur, coord):
     # independent unrolled slices and keeps all their temps live; the
     # sequential loop reuses one slice's buffers.
     step = max(1, _PRODUCT_CHUNK_ROWS // W)
-    assert R % step == 0, (R, step)
+    if R % step != 0:
+        # non-divisible geometry: unrolled slices (rare; memory-looser)
+        outs = [address_mod.coordinate_product(params, ctx,
+                                               cur[:, r0 : r0 + step], coord)
+                for r0 in range(0, R, step)]
+        return jnp.concatenate(outs, axis=1)
     sliced = cur.reshape(cur.shape[0], R // step, step, *cur.shape[2:])
     sliced = jnp.moveaxis(sliced, 1, 0)  # [nslices, W, step, C, L, N]
     out = jax.lax.map(
