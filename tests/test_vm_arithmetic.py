@@ -43,7 +43,7 @@ def test_eval_ops_and_select(world):
     a, b = 0xB4, 0x2D
     rs1 = fheuint.encrypt_prepared(PAR, CTX, s_ntt, a, src, BITS)
     rs2 = fheuint.encrypt_prepared(PAR, CTX, s_ntt, b, src, BITS)
-    ops = ("none", "add", "xor", "sltu")
+    ops = ("none", "add", "xor", "sltu", "srl", "sub")
     packed = arithmetic.eval_ops(PAR, CTX, rs1, rs2, rs2, ekp.atk_glwe,
                                  ops=ops, bits=BITS)
     for op_id, op in enumerate(ops):
@@ -51,7 +51,8 @@ def test_eval_ops_and_select(world):
         sel = arithmetic.select_rd(PAR, CTX, packed, idp, len(ops),
                                    ekp.atk_glwe, BITS)
         got = fheuint.decrypt_word(PAR, CTX, s_ntt, sel, BITS)
-        assert got == model_op(op, a, b), (op, got)
+        want = model_op(op, a, b)
+        assert got == want, (op, got, want)
 
 
 def test_select_store_all_combinations():
