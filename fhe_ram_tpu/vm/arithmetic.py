@@ -76,6 +76,11 @@ def eval_ops(params: Params, ctx: NTTContext, rs1p, rs2p, immp, atk,
     """Evaluate all ops; result i packed at coefficient offset i
     (src/arithmetic.rs:155-210)."""
     n_ops = len(ops)
+    # select_rd's partial trace keeps every gap-th coefficient: two packed
+    # results whose offsets differ by a multiple of gap would alias.
+    assert n_ops <= fheuint.gap(params, bits), (
+        f"{n_ops} packed ops alias under the bits={bits} slot stride "
+        f"(gap={fheuint.gap(params, bits)}); use a larger ring")
     rd = None
     for i, op in enumerate(ops):
         res = eval_op(params, ctx, op, rs1p, rs2p, immp, atk, bits)
@@ -88,6 +93,8 @@ def select_rd(params: Params, ctx: NTTContext, rd_packed, op_id_prep,
               ops_len: int, atk, bits: int = 32):
     """Blind-rotate by the encrypted op id, then clean with the partial
     trace keeping the word's slot stride (src/arithmetic.rs:212-231)."""
+    assert ops_len <= fheuint.gap(params, bits), (
+        "packed op offsets alias under the kept slot stride")
     log_size = (ops_len - 1).bit_length()
     rd = glwe_blind_rotation(params, ctx, rd_packed, op_id_prep, 0, log_size,
                              negate=True)

@@ -72,35 +72,6 @@ def test_trace_noise():
     assert noise < -(PAR.k_pt + 1), noise
 
 
-def test_pack():
-    """Pack M ciphertexts' slot-0 values; after a full trace of any
-    rotated result, coefficient m must surface (read-path contract)."""
-    src, sk, s_ntt, ekp = setup()
-    M = 4
-    slot_vals = [1, -2, 3, 0]
-    pts = np.zeros((M, PAR.n), dtype=np.int64)
-    for m, v in enumerate(slot_vals):
-        pts[m, 0] = v
-        pts[m, 1:] = (np.arange(PAR.n - 1) % 3) - 1  # garbage in other slots
-    cts = enc(src, s_ntt, pts)
-    fn = jax.jit(partial(packer.pack, PAR, CTX))
-    packed = fn(cts, auto_keys_ntt=ekp.atk_glwe)
-    ph = glwe.phase(PAR, CTX, s_ntt, packed)
-    got = decode_all(ph)
-    # coefficients 0..M-1 must hold the slot values (coefficients >= M may
-    # hold garbage by design; the pipeline always traces after selection)
-    assert list(got[:M]) == slot_vals, got[:8]
-
-    # extraction: rotate by -m then trace -> slot m at coeff 0
-    for m, v in enumerate(slot_vals):
-        r = poly.rotate(packed, -m)
-        res = keyswitch.trace(PAR, CTX, r, ekp.atk_glwe)
-        val, noise = glwe.decode_coeff0(
-            PAR, np.asarray(glwe.phase(PAR, CTX, s_ntt, res)), v)
-        assert int(val) == v
-        assert noise < -(PAR.k_pt + 1), noise
-
-
 def test_ggsw_automorphism_inv():
     """GGSW(X^e) -> GGSW(X^-e) via the p=-1 auto key + tensor key."""
     src, sk, s_ntt, ekp = setup()

@@ -1,0 +1,98 @@
+"""CPU (interpret=True) correctness tests for the Pallas NTT kernels.
+
+The kernels are the production TPU default (bench.py sets
+FHERAM_NTT=pallas); these tests pin their semantics without TPU
+hardware via the kernels' interpret mode:
+  * forward -> inverse roundtrip is the identity on small coefficients,
+  * a negacyclic convolution through the pallas spectrum equals both the
+    butterfly backend's convolution and a numpy schoolbook model,
+  * fused_external_pallas equals the composed fwd -> VMP -> inv path.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from fhe_ram_tpu.params import DEFAULT_PRIMES
+from fhe_ram_tpu.ops.ntt import get_ntt_context, ntt_fwd, ntt_inv
+from fhe_ram_tpu.ops.modular import mul_mod, reduce_once, to_canonical, prime_consts
+from fhe_ram_tpu.ops.ntt_pallas import (
+    get_pallas_context, ntt_fwd_pallas, ntt_inv_pallas, fused_external_pallas)
+
+N = 4096
+PRIMES = DEFAULT_PRIMES
+PCTX = get_pallas_context(N, PRIMES)
+CTX = get_ntt_context(N, PRIMES)
+
+
+def _negacyclic_conv_naive(a, b):
+    """Schoolbook negacyclic convolution over Z (exact, int64)."""
+    n = len(a)
+    full = np.convolve(a.astype(np.int64), b.astype(np.int64))
+    out = full[:n].copy()
+    out[: n - 1] -= full[n:]
+    return out
+
+
+def test_pallas_roundtrip_identity():
+    rnd = np.random.default_rng(0)
+    x = jnp.asarray(rnd.integers(-(1 << 16), 1 << 16, size=(2, N)), jnp.int32)
+    spec = ntt_fwd_pallas(PCTX, x, interpret=True)
+    back = ntt_inv_pallas(PCTX, spec, interpret=True)
+    # the inverse folds 1/N: residues mod every prime must equal x
+    for pi, p in enumerate(PRIMES):
+        got = np.asarray(to_canonical(back[pi], p))
+        assert np.array_equal(got, np.asarray(x)), f"prime {p}"
+
+
+def test_pallas_conv_matches_butterfly_and_naive():
+    rnd = np.random.default_rng(1)
+    a = rnd.integers(-(1 << 14), 1 << 14, size=N).astype(np.int32)
+    b = rnd.integers(-(1 << 14), 1 << 14, size=N).astype(np.int32)
+    want = _negacyclic_conv_naive(a, b)
+
+    p, ip = prime_consts(PRIMES, 2)
+
+    # pallas spectrum (its own order)
+    fa = ntt_fwd_pallas(PCTX, jnp.asarray(a)[None], interpret=True)[:, 0]
+    fb = ntt_fwd_pallas(PCTX, jnp.asarray(b)[None], interpret=True)[:, 0]
+    prod = reduce_once(mul_mod(fa, fb, p, ip), p, ip)
+    conv_pl = ntt_inv_pallas(PCTX, prod[:, None], interpret=True)[:, 0]
+
+    # butterfly spectrum (different order; same convolution)
+    fa2 = ntt_fwd(CTX, jnp.asarray(a))
+    fb2 = ntt_fwd(CTX, jnp.asarray(b))
+    prod2 = reduce_once(mul_mod(fa2, fb2, p, ip), p, ip)
+    conv_bf = ntt_inv(CTX, prod2)
+
+    for pi, pr in enumerate(PRIMES):
+        w = np.asarray(to_canonical(jnp.asarray(want % pr), np.int32(pr)))
+        w = np.where(w > pr // 2, w - pr, w)
+        got_pl = np.asarray(to_canonical(conv_pl[pi], pr))
+        got_bf = np.asarray(to_canonical(conv_bf[pi], pr))
+        assert np.array_equal(got_pl, w), f"pallas vs naive, prime {pr}"
+        assert np.array_equal(got_bf, w), f"butterfly vs naive, prime {pr}"
+
+
+def test_fused_external_matches_composed():
+    rnd = np.random.default_rng(2)
+    B, T, M = 2, 3, 2
+    x = jnp.asarray(rnd.integers(-(1 << 16), 1 << 16, size=(B, T, N)), jnp.int32)
+    keys_coeff = jnp.asarray(rnd.integers(-4, 5, size=(T, M, N)), jnp.int32)
+    keys_ntt = ntt_fwd_pallas(PCTX, keys_coeff, interpret=True)  # [P, T, M, N]
+
+    fused = fused_external_pallas(PCTX, x, keys_ntt, interpret=True)
+
+    # composed: fwd all digits, pointwise multiply-accumulate, inverse
+    fx = ntt_fwd_pallas(PCTX, x, interpret=True)  # [P, B, T, N]
+    p, ip = prime_consts(PRIMES, 4)
+    acc = jnp.zeros((len(PRIMES), B, M, N), jnp.int32)
+    for t in range(T):
+        acc = acc + mul_mod(fx[:, :, t][:, :, None], keys_ntt[:, t][:, None], p, ip)
+    acc = reduce_once(acc, p, ip)
+    composed = ntt_inv_pallas(PCTX, acc.reshape(len(PRIMES), B * M, N),
+                              interpret=True).reshape(len(PRIMES), B, M, N)
+
+    for pi, pr in enumerate(PRIMES):
+        got = np.asarray(to_canonical(fused[pi], pr))
+        want = np.asarray(to_canonical(composed[pi], pr))
+        assert np.array_equal(got, want), f"prime {pr}"
