@@ -70,12 +70,18 @@ def scalar_to_ggsw_blind_rotation(params: Params, ctx: NTTContext, tv,
 
 
 def fheuint_to_address(params: Params, ctx: NTTContext, fheuint_prep):
-    """Build a full (prepared) Address from an encrypted pointer
-    (reference fhe_uint_blocks_to_address / set_from_fheuint,
-    src/conversion.rs:30-82)."""
+    """Build a full Address from an encrypted pointer: returns
+    (Address, AddressPrepared) so the result can drive BOTH reads (NTT
+    domain) and writes (the write path derives inverse GGSWs from the
+    coefficient-domain coordinates, ram/ram.py write_impl).
+
+    Matches the reference's Address::set_from_fheuint, which fills a
+    real Address usable by Ram::read and Ram::write alike
+    (src/conversion.rs:30-82, consumed at src/ram.rs:226-294)."""
     tv = np.zeros(params.n, dtype=np.int32)
     tv[0] = 1
-    coords = []
+    coords_coeff = []
+    coords_prep = []
     bit_rsh = 0
     for base1d in params.base2d().rows:
         digs = []
@@ -86,5 +92,8 @@ def fheuint_to_address(params: Params, ctx: NTTContext, fheuint_prep):
                     params, ctx, tv, fheuint_prep, bit_rsh, bmask, bit_lsh))
             bit_lsh += bmask
             bit_rsh += bmask
-        coords.append(ggsw.prepare(ctx, jnp.stack(digs, axis=0)))
-    return AddressPrepared(coordinates=tuple(coords))
+        stack = jnp.stack(digs, axis=0)
+        coords_coeff.append(stack)
+        coords_prep.append(ggsw.prepare(ctx, stack))
+    return (Address(coordinates=tuple(coords_coeff)),
+            AddressPrepared(coordinates=tuple(coords_prep)))

@@ -76,7 +76,7 @@ def main():
                                       dnum=par.dnum_ggsw,
                                       limbs=par.limbs_evk_ggsw)
         t0 = time.time()
-        ap = conversion.fheuint_to_address(par, ctx, up)
+        _, ap = conversion.fheuint_to_address(par, ctx, up)
         out = server.read(ram_ct, ap)
         for i in range(par.word_size):
             want = glwe.cast_u8_signed(int(data[idx * par.word_size + i]), par.k_pt)

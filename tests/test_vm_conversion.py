@@ -30,7 +30,7 @@ def test_pointer_drives_ram_read():
         up = fheuint.encrypt_prepared(
             PAR, CTX, s_ntt, idx, src, bits=ptr_bits,
             dnum=PAR.dnum_ggsw, limbs=PAR.limbs_evk_ggsw)
-        addr_prep = conversion.fheuint_to_address(PAR, CTX, up)
+        _, addr_prep = conversion.fheuint_to_address(PAR, CTX, up)
         out = np.asarray(server.read(ram_ct, addr_prep))
         for i in range(PAR.word_size):
             want = glwe.cast_u8_signed(int(data[idx * PAR.word_size + i]), PAR.k_pt)
@@ -38,3 +38,57 @@ def test_pointer_drives_ram_read():
             val, noise = glwe.decode_coeff0(PAR, np.asarray(ph), want)
             assert int(val) == want, (idx, i)
             assert noise < -(PAR.k_pt + 1)
+
+
+def test_pointer_drives_ram_write():
+    """A VM-computed encrypted pointer drives a FULL RMW cycle:
+    read_prepare_write -> write -> read-back, with untouched addresses
+    intact (reference capability: Address::set_from_fheuint feeding
+    Ram::write, src/conversion.rs:68-82 + src/ram.rs:226-294)."""
+    src = rng.Source(52)
+    sk = rng.ternary_secret(src.split(), PAR.rank, PAR.n, PAR.xs_density)
+    s_ntt = glwe.secret_prepare(CTX, sk)
+    ekp = keys.prepare(PAR, keys.keygen(PAR, sk, src))
+    server = ram_mod.FheRam(PAR, ekp)
+
+    rnd = np.random.default_rng(8)
+    data = rnd.integers(0, 256, size=PAR.max_addr * PAR.word_size).astype(np.uint8)
+    ram_ct = ram_mod.encrypt_ram(PAR, CTX, s_ntt, data, src)
+
+    idx = 77
+    other = 140  # untouched probe address
+    ptr_bits = (PAR.max_addr - 1).bit_length()
+    up = fheuint.encrypt_prepared(
+        PAR, CTX, s_ntt, idx, src, bits=ptr_bits,
+        dnum=PAR.dnum_ggsw, limbs=PAR.limbs_evk_ggsw)
+    addr, addr_prep = conversion.fheuint_to_address(PAR, CTX, up)
+
+    new_word = rnd.integers(0, 256, size=PAR.word_size).astype(np.uint8)
+    w_ct = ram_mod.encrypt_write_word(PAR, CTX, s_ntt, new_word, src)
+
+    out, d2, tree = server.read_prepare_write(ram_ct, addr_prep)
+    for i in range(PAR.word_size):
+        want = glwe.cast_u8_signed(int(data[idx * PAR.word_size + i]), PAR.k_pt)
+        ph = glwe.phase(PAR, CTX, s_ntt, np.asarray(out)[i])
+        val, _ = glwe.decode_coeff0(PAR, np.asarray(ph), want)
+        assert int(val) == want, ("rpw", i)
+
+    d3 = server.write(d2, tree, w_ct, addr)
+
+    from fhe_ram_tpu.ram import address as address_mod
+    ap2 = address_mod.prepare(CTX, address_mod.encrypt(PAR, CTX, s_ntt, idx, src))
+    out2 = np.asarray(server.read(d3, ap2))
+    for i in range(PAR.word_size):
+        want = glwe.cast_u8_signed(int(new_word[i]), PAR.k_pt)
+        ph = glwe.phase(PAR, CTX, s_ntt, out2[i])
+        val, noise = glwe.decode_coeff0(PAR, np.asarray(ph), want)
+        assert int(val) == want, ("write-back", i, val, want)
+        assert noise < -(PAR.k_pt + 1), noise
+
+    ap3 = address_mod.prepare(CTX, address_mod.encrypt(PAR, CTX, s_ntt, other, src))
+    out3 = np.asarray(server.read(d3, ap3))
+    for i in range(PAR.word_size):
+        want = glwe.cast_u8_signed(int(data[other * PAR.word_size + i]), PAR.k_pt)
+        ph = glwe.phase(PAR, CTX, s_ntt, out3[i])
+        val, _ = glwe.decode_coeff0(PAR, np.asarray(ph), want)
+        assert int(val) == want, ("untouched", i, val, want)
