@@ -1,0 +1,163 @@
+"""Analytic noise model vs measured noise (core/noise.py).
+
+The reference asserts GGSW noise against analytic bounds
+(src/conversion.rs:184-192,215) and publishes a >= ~40M-operation
+refresh budget (README.md:36).  These tests check, on the small ring:
+  * every measured per-op noise stays below its analytic bound,
+  * the bound is TIGHT-ish (within ~14 bits of the measurement, so the
+    model tracks reality rather than being vacuous),
+  * blind-rotation-derived GGSWs pass an assert_noise-style gate,
+  * the computed refresh budget at the production 2^18 config clears
+    the reference's ~40M figure.
+"""
+
+import math
+
+import numpy as np
+import jax.numpy as jnp
+
+from fhe_ram_tpu.params import PARAMS_TEST_SMALL as PAR, PARAMS_README_2_18
+from fhe_ram_tpu.ops.ntt import get_ntt_context
+from fhe_ram_tpu.ops import limb as limb_ops
+from fhe_ram_tpu.core import glwe, ggsw, keyswitch, keys, noise, rng
+from fhe_ram_tpu.ram import address as address_mod, ram as ram_mod
+
+CTX = get_ntt_context(PAR.n, PAR.primes)
+
+
+def setup(seed=3):
+    src = rng.Source(seed)
+    sk = rng.ternary_secret(src.split(), PAR.rank, PAR.n, PAR.xs_density)
+    s_ntt = glwe.secret_prepare(CTX, sk)
+    ekp = keys.prepare(PAR, keys.keygen(PAR, sk, src))
+    return src, sk, s_ntt, ekp
+
+
+def _max_noise_log2(ph, want_vec):
+    t = limb_ops.torus_float(np.asarray(ph))
+    frac = t - np.asarray(want_vec, np.float64) * 2.0 ** (-PAR.k_pt)
+    frac = frac - np.rint(frac)
+    return float(np.log2(np.max(np.abs(frac)) + 2.0 ** -120))
+
+
+def test_fresh_noise_bound():
+    src, sk, s_ntt, _ = setup()
+    vals = np.arange(PAR.n) % 5 - 2
+    ct = glwe.encrypt(PAR, CTX, s_ntt, glwe.encode_vec(PAR, jnp.asarray(vals)), src)
+    got = _max_noise_log2(glwe.phase(PAR, CTX, s_ntt, ct), vals)
+    bound = noise.bound_log2(noise.var_fresh(PAR, PAR.limbs_ct))
+    assert got < bound, (got, bound)
+    assert got > bound - 14, f"bound too loose: measured {got}, bound {bound}"
+
+
+def test_external_product_noise_bound():
+    src, sk, s_ntt, _ = setup()
+    vals = np.arange(PAR.n) % 5 - 2
+    ct = glwe.encrypt(PAR, CTX, s_ntt, glwe.encode_vec(PAR, jnp.asarray(vals)), src)
+    mono = np.zeros(PAR.n, dtype=np.int32)
+    mono[3] = 1
+    g = ggsw.prepare(CTX, ggsw.encrypt(PAR, CTX, s_ntt, jnp.asarray(mono), src))
+    res = ggsw.external_product(PAR, CTX, ct, g)
+    from fhe_ram_tpu.ops import poly
+    want = np.asarray(poly.rotate(jnp.asarray(vals), 3))
+    got = _max_noise_log2(glwe.phase(PAR, CTX, s_ntt, res), want)
+    var = noise.var_external_product(
+        PAR, PAR.limbs_ct, noise.var_fresh(PAR, PAR.limbs_ggsw),
+        PAR.limbs_ct, var_in=noise.var_fresh(PAR, PAR.limbs_ct))
+    bound = noise.bound_log2(var, noise.det_trunc(PAR.limbs_ct))
+    assert got < bound, (got, bound)
+    assert got > bound - 14, (got, bound)
+
+
+def test_trace_noise_bound():
+    src, sk, s_ntt, ekp = setup()
+    vals = np.zeros(PAR.n, dtype=np.int64)
+    vals[0] = 2
+    ct = glwe.encrypt(PAR, CTX, s_ntt, glwe.encode_vec(PAR, jnp.asarray(vals)), src)
+    res = keyswitch.trace(PAR, CTX, ct, ekp.atk_glwe)
+    got = _max_noise_log2(glwe.phase(PAR, CTX, s_ntt, res), vals)
+    var, det = noise.trace_noise(PAR, noise.var_fresh(PAR, PAR.limbs_ct),
+                                 PAR.limbs_ct)
+    bound = noise.bound_log2(var, det)
+    assert got < bound, (got, bound)
+    assert got > bound - 14, (got, bound)
+
+
+def test_read_noise_bound():
+    src, sk, s_ntt, ekp = setup(seed=9)
+    rnd = np.random.default_rng(2)
+    data = rnd.integers(0, 256, size=PAR.max_addr * PAR.word_size).astype(np.uint8)
+    ram_ct = ram_mod.encrypt_ram(PAR, CTX, s_ntt, data, src)
+    server = ram_mod.FheRam(PAR, ekp)
+    bound = noise.read_noise_log2(PAR)
+    worst = -1000.0
+    for idx in [0, 133]:
+        ap = address_mod.prepare(
+            CTX, address_mod.encrypt(PAR, CTX, s_ntt, idx, src))
+        out = np.asarray(server.read(ram_ct, ap))
+        for i in range(PAR.word_size):
+            want = glwe.cast_u8_signed(int(data[idx * PAR.word_size + i]), PAR.k_pt)
+            ph = glwe.phase(PAR, CTX, s_ntt, out[i])
+            val, nlog = glwe.decode_coeff0(PAR, np.asarray(ph), want)
+            assert int(val) == want
+            worst = max(worst, float(nlog))
+    assert worst < bound, (worst, bound)
+    assert worst > bound - 16, f"read bound too loose: {worst} vs {bound}"
+    # the analytic read bound itself must clear the decode requirement
+    assert bound < -(PAR.k_pt + 1)
+
+
+def test_ggsw_assert_noise_fresh():
+    src, sk, s_ntt, _ = setup(seed=4)
+    mono = np.zeros(PAR.n, dtype=np.int32)
+    mono[5] = 1
+    g = ggsw.encrypt(PAR, CTX, s_ntt, jnp.asarray(mono), src)
+    bound = noise.bound_log2(noise.var_fresh(PAR, PAR.limbs_ggsw))
+    measured = noise.assert_ggsw_noise(PAR, CTX, sk, s_ntt, g, mono, bound)
+    assert measured.max() > bound - 14, "fresh GGSW bound too loose"
+
+
+def test_ggsw_assert_noise_conversion():
+    """Blind-rotation-derived GGSW noise gate (the reference's
+    conversion noise test, src/conversion.rs:100-220)."""
+    from fhe_ram_tpu.vm import conversion, fheuint
+
+    src, sk, s_ntt, _ = setup(seed=6)
+    ptr_bits = (PAR.max_addr - 1).bit_length()
+    value = 173
+    up = fheuint.encrypt_prepared(
+        PAR, CTX, s_ntt, value, src, bits=ptr_bits,
+        dnum=PAR.dnum_ggsw, limbs=PAR.limbs_evk_ggsw)
+    addr, _ = conversion.fheuint_to_address(PAR, CTX, up)
+
+    base2d = PAR.base2d()
+    remain = value
+    for ci, base1d in enumerate(base2d.rows):
+        k = remain & (base1d.max() - 1)
+        remain //= base1d.max()
+        tot = 0
+        digval = k
+        for di, b in enumerate(base1d.bases):
+            # expected monomial X^(-(digit << tot)) (negacyclic sign)
+            e = (digval & ((1 << b) - 1)) << tot
+            mono = np.zeros(PAR.n, dtype=np.int64)
+            if e == 0:
+                mono[0] = 1
+            else:
+                mono[PAR.n - e] = -1
+            var = noise.conversion_ggsw_row_var(PAR, n_cmux=b)
+            bound = noise.bound_log2(var + noise.var_trunc(PAR.limbs_ggsw),
+                                     noise.det_trunc(PAR.limbs_ggsw))
+            noise.assert_ggsw_noise(
+                PAR, CTX, sk, s_ntt, addr.coordinates[ci][di], mono, bound)
+            digval >>= b
+            tot += b
+
+
+def test_refresh_budget_production():
+    """The computed refresh budget at the 2^18 production config must
+    clear the reference's published ~40M figure (README.md:36)."""
+    budget = noise.refresh_budget(PARAMS_README_2_18)
+    assert budget >= 40_000_000, budget
+    # and the analytic read bound clears decode at the production config
+    assert noise.read_noise_log2(PARAMS_README_2_18) < -(PARAMS_README_2_18.k_pt + 1)
