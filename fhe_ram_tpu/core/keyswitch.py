@@ -1,6 +1,6 @@
 """GGLWE key-switching keys, GLWE automorphisms, and the normalized trace.
 
-Automorphism-keyswitch pipeline (rank 1; generic in rank):
+Automorphism-keyswitch pipeline (generic in rank):
   1. apply sigma_g to every component of the ct (pure index permutation),
   2. key-switch the a-part back to the original secret using the
      automorphism key: a GGLWE whose digit-row d has phase

@@ -250,6 +250,17 @@ PARAMS_TEST_SMALL = Params(
     max_addr=1 << 8,
 )
 
+# Rank-2 test config: exercises the generic-rank paths (GLWE with two
+# mask components, rank-2 GGSW, per-component tensor keys).
+PARAMS_TEST_RANK2 = Params(
+    log_n=6,
+    rank=2,
+    k_pt=3,
+    decomp_n=(3, 3),
+    word_size=2,
+    max_addr=1 << 8,
+)
+
 # VM test config: ring large enough for u32 words (gap = N/32 = 16 >= the
 # 16 store-select cases; the reference's store test also uses N=512,
 # src/store.rs:163).

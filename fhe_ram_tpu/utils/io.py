@@ -31,7 +31,7 @@ def _check_params(meta, params: Params):
 
 def save_keys(path: str, params: Params, keys: EvaluationKeys):
     arrays = {f"atk_{g}": np.asarray(v) for g, v in keys.atk_glwe.items()}
-    arrays["atk_ggsw_inv"] = np.asarray(keys.atk_ggsw_inv)
+    arrays.update({f"atkg_{g}": np.asarray(v) for g, v in keys.atk_ggsw.items()})
     arrays["tsk"] = np.asarray(keys.tsk)
     np.savez_compressed(path, __params__=_params_json(params), **arrays)
 
@@ -39,13 +39,15 @@ def save_keys(path: str, params: Params, keys: EvaluationKeys):
 def load_keys(path: str, params: Params | None = None) -> EvaluationKeys:
     z = np.load(path, allow_pickle=False)
     _check_params(str(z["__params__"]), params)
-    atk = {}
+    atk, atk_ggsw = {}, {}
     for k in z.files:
-        if k.startswith("atk_") and k != "atk_ggsw_inv":
+        if k.startswith("atkg_"):
+            atk_ggsw[int(k[5:])] = jnp.asarray(z[k])
+        elif k.startswith("atk_"):
             atk[int(k[4:])] = jnp.asarray(z[k])
     return EvaluationKeys(
         atk_glwe=atk,
-        atk_ggsw_inv=jnp.asarray(z["atk_ggsw_inv"]),
+        atk_ggsw=atk_ggsw,
         tsk=jnp.asarray(z["tsk"]),
     )
 
