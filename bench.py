@@ -112,7 +112,7 @@ def main():
             ts.append(time.perf_counter() - t0)
         return min(ts)
 
-    out = server.read(ram_dev, addr_dev)
+    out = server.read(server.init_state(ram_dev), addr_dev)
     jax.block_until_ready(out)
 
     # correctness gate: a fast wrong answer is worthless

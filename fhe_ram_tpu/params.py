@@ -272,6 +272,17 @@ PARAMS_TEST_VM = Params(
     max_addr=1 << 9,
 )
 
+# Full-enum VM test config: N=1024 so the 20 RV32I op slots fit the u32
+# stride (gap = N/32 = 32 >= 20; the reference's arithmetic test also
+# runs at N=1024, src/arithmetic.rs:254).
+PARAMS_TEST_VM1024 = Params(
+    log_n=10,
+    k_pt=3,
+    decomp_n=(3, 3, 4),
+    word_size=2,
+    max_addr=1 << 10,
+)
+
 # Single-level test config (max_addr <= N, n2 == 1).
 PARAMS_TEST_FLAT = Params(
     log_n=6,

@@ -234,17 +234,37 @@ def write_impl(params: Params, ctx: NTTContext, data, tree, w, addr_coords,
 # orchestration
 # --------------------------------------------------------------------------
 
+@dataclass
+class RamState:
+    """Carried RAM state: the encrypted data and, between
+    read_prepare_write and write, the persisted rotated tree plus the
+    protocol flag (reference: SubRam.state, src/ram.rs:302).
+
+    The flag travels WITH the (data, tree) pair, so a caller cannot
+    accidentally hand a stale tree to write alongside a fresh data
+    array: write only accepts the state object read_prepare_write
+    returned, and the donated buffers of superseded states are
+    invalidated by XLA."""
+
+    data: jnp.ndarray
+    tree: tuple
+    pending: bool
+
+
+jax.tree_util.register_dataclass(
+    RamState, data_fields=["data", "tree"], meta_fields=["pending"])
+
+
 class FheRam:
     """Server-side FHE-RAM (reference Ram, src/ram.rs:25-29).
 
     Holds static params + prepared keys and jit-compiles the three
-    operations once per geometry.  State (data, tree) is explicit."""
+    operations once per geometry.  State is an explicit RamState."""
 
     def __init__(self, params: Params, keys_prepared: keys_mod.EvaluationKeysPrepared):
         self.params = params
         self.ctx = get_ntt_context(params.n, params.primes)
         self.keys = keys_prepared
-        self.pending_write = False
 
         p, c = params, self.ctx
         self._read = jax.jit(partial(read_impl, p, c))
@@ -257,24 +277,28 @@ class FheRam:
             jax.vmap(partial(read_impl, p, c), in_axes=(None, 0, None))
         )
 
-    def read(self, data, addr_prep: address_mod.AddressPrepared):
-        assert not self.pending_write, "pending write: call write() first"
-        return self._read(data, addr_prep.coordinates, self.keys.atk_glwe)
+    def init_state(self, data) -> RamState:
+        """Wrap freshly encrypted RAM data (ram.encrypt_ram output)."""
+        return RamState(data=data, tree=(), pending=False)
 
-    def read_batch(self, data, addrs_prep):
+    def read(self, state: RamState, addr_prep: address_mod.AddressPrepared):
+        assert not state.pending, "pending write: call write() first"
+        return self._read(state.data, addr_prep.coordinates, self.keys.atk_glwe)
+
+    def read_batch(self, state: RamState, addrs_prep):
         """Batched reads at many addresses: coords stacked on axis 0."""
-        assert not self.pending_write
-        return self._read_batch(data, addrs_prep, self.keys.atk_glwe)
+        assert not state.pending, "pending write: call write() first"
+        return self._read_batch(state.data, addrs_prep, self.keys.atk_glwe)
 
-    def read_prepare_write(self, data, addr_prep: address_mod.AddressPrepared):
-        assert not self.pending_write, "pending write: call write() first"
+    def read_prepare_write(self, state: RamState,
+                           addr_prep: address_mod.AddressPrepared):
+        assert not state.pending, "pending write: call write() first"
         out, new_data, new_tree = self._rpw(
-            data, addr_prep.coordinates, self.keys.atk_glwe)
-        self.pending_write = True
-        return out, new_data, new_tree
+            state.data, addr_prep.coordinates, self.keys.atk_glwe)
+        return out, RamState(data=new_data, tree=new_tree, pending=True)
 
-    def write(self, data, tree, w, addr: address_mod.Address):
-        assert self.pending_write, "write requires read_prepare_write first"
-        new_data = self._write(data, tree, w, addr.coordinates, self.keys)
-        self.pending_write = False
-        return new_data
+    def write(self, state: RamState, w, addr: address_mod.Address):
+        assert state.pending, "write requires read_prepare_write first"
+        new_data = self._write(state.data, state.tree, w, addr.coordinates,
+                               self.keys)
+        return RamState(data=new_data, tree=(), pending=False)

@@ -1,17 +1,32 @@
 """RV32I ALU over encrypted words (reference: src/arithmetic.rs).
 
-`eval_ops` evaluates every ALU op on (rs1, rs2, imm), packs the 20
-results into one GLWE at coefficient offsets 0..19 (mirroring the
+`eval_ops` evaluates every ALU op on (rs1, rs2, imm), packs the results
+into one GLWE at coefficient offsets 0..n_ops-1 (mirroring the
 rotate-and-add packing at src/arithmetic.rs:195-210), and `select_rd`
 blind-rotates by the encrypted op id and partial-traces away the other
-slots (src/arithmetic.rs:212-231)."""
+slots (src/arithmetic.rs:212-231).
+
+TPU-first batching (v2): ops are grouped by circuit TYPE and each group
+runs as ONE batched circuit -- the 7 carry-DP ops (add/sub/compare
+families) share one batched 2-state DP (2 batched external products per
+bit for the whole group), the 6 bitwise ops share one batched
+triple-CMux, and the 6 shifts share one slot extraction + one batched
+barrel.  Versus the v1 per-op loop this cuts the sequential kernel
+count ~8x and multiplies every kernel's batch size, which is what the
+TPU wants.  `eval_ops_jit`/`select_rd_jit` wrap the loops in cached
+jits (one compile per (ops, bits) shape) so VM programs pay tracing
+once, not per instruction.
+"""
 
 from __future__ import annotations
 
+from functools import lru_cache
+
+import jax
 import jax.numpy as jnp
 
 from ..params import Params
-from ..ops.ntt import NTTContext
+from ..ops.ntt import NTTContext, get_ntt_context
 from ..ops import limb as limb_ops
 from ..ops import poly
 from ..core import keyswitch
@@ -22,6 +37,32 @@ RVI32_OPS = (
     "srli", "srai", "add", "sub", "sll", "slt", "sltu", "xor", "srl",
     "sra", "or", "and",
 )
+
+# circuit-group classification; "imm" ops read the immediate as operand b
+_IMM_OPS = {"addi", "slti", "sltiu", "xori", "ori", "andi",
+            "slli", "srli", "srai"}
+
+# carry-DP specs: (emit_bits, use_sub_table, msb_flip, final(c), take_F)
+_DP_SPECS = {
+    "add": (True, False, False, lambda c: 0, 0),
+    "addi": (True, False, False, lambda c: 0, 0),
+    "sub": (True, True, False, lambda c: 0, 1),
+    "sltu": (False, True, False, lambda c: 1 - c, 1),
+    "sltiu": (False, True, False, lambda c: 1 - c, 1),
+    "slt": (False, True, True, lambda c: 1 - c, 1),
+    "slti": (False, True, True, lambda c: 1 - c, 1),
+}
+
+_BITWISE_TABLES = {
+    "xor": (0, 1, 1, 0), "xori": (0, 1, 1, 0),
+    "and": (0, 0, 0, 1), "andi": (0, 0, 0, 1),
+    "or": (0, 1, 1, 1), "ori": (0, 1, 1, 1),
+}
+
+_SHIFT_KINDS = {
+    "sll": "sll", "slli": "sll", "srl": "srl", "srli": "srl",
+    "sra": "sra", "srai": "sra",
+}
 
 
 def glwe_blind_rotation(params: Params, ctx: NTTContext, ct, prep_bits,
@@ -40,53 +81,180 @@ def glwe_blind_rotation(params: Params, ctx: NTTContext, ct, prep_bits,
     return ct
 
 
+def _b_bit(op: str, rs2p, immp, j: int):
+    src = immp if op in _IMM_OPS else rs2p
+    return src[:, j]
+
+
+# --------------------------------------------------------------------------
+# group circuits (each = one batched pipeline for all ops in the group)
+# --------------------------------------------------------------------------
+
+def _dp_group(params: Params, ctx: NTTContext, ops, rs1p, rs2p, immp,
+              bits: int):
+    """All carry-DP ops as one batched MSB->LSB 2-state DP.
+
+    State F: [G, 2, C, L, N] -- per op, the result-so-far given carry-in
+    0/1.  Per bit: one batched CMux on the b-bits (batch 4G) and one on
+    the a-bits (batch 2G)."""
+    G = len(ops)
+    specs = [_DP_SPECS[op] for op in ops]
+    F = jnp.stack([
+        jnp.stack([fheuint.trivial_word(params, [sp[3](0)], bits),
+                   fheuint.trivial_word(params, [sp[3](1)], bits)])
+        for sp in specs
+    ])  # [G, 2, C, L, N]
+
+    for j in range(bits - 1, -1, -1):
+        delta = circuits._delta_slot(params, j, bits)
+        highs, lows = [], []
+        for gi, (op, sp) in enumerate(zip(ops, specs)):
+            emit, subtab, flip, _, _ = sp
+            t = {}
+            for a in (0, 1):
+                for b in (0, 1):
+                    for c in (0, 1):
+                        aa = 1 - a if (flip and j == bits - 1) else a
+                        bb = 1 - b if (flip and j == bits - 1) else b
+                        eff_b = (1 - bb) if subtab else bb
+                        carry = (aa + eff_b + c) >> 1
+                        base = F[gi, carry]
+                        if emit:
+                            o = aa ^ eff_b ^ c if subtab else aa ^ bb ^ c
+                            # for sub the emitted bit is a ^ ~b ^ c
+                            base = limb_ops.normalize(base + o * delta)
+                        t[(a, b, c)] = base
+            highs += [t[(0, 1, 0)], t[(0, 1, 1)], t[(1, 1, 0)], t[(1, 1, 1)]]
+            lows += [t[(0, 0, 0)], t[(0, 0, 1)], t[(1, 0, 0)], t[(1, 0, 1)]]
+        highs = jnp.stack(highs)  # [4G, C, L, N]
+        lows = jnp.stack(lows)
+        bj = jnp.stack([_b_bit(op, rs2p, immp, j) for op in ops], axis=1)
+        bj = jnp.repeat(bj, 4, axis=1)  # [P, 4G, D, C, C2, Lg, N]
+        inner = circuits.cmux(params, ctx, bj, highs, lows).reshape(
+            (G, 4) + highs.shape[1:])
+        aj = jnp.repeat(rs1p[:, j : j + 1], 2 * G, axis=1)
+        F = circuits.cmux(params, ctx, aj,
+                          inner[:, 2:].reshape((2 * G,) + highs.shape[1:]),
+                          inner[:, :2].reshape((2 * G,) + highs.shape[1:]))
+        F = F.reshape((G, 2) + highs.shape[1:])
+    return {op: F[gi, sp[4]] for gi, (op, sp) in enumerate(zip(ops, specs))}
+
+
+def _bitwise_group(params: Params, ctx: NTTContext, ops, rs1p, rs2p, immp,
+                   bits: int):
+    """All bitwise ops as one batched 4-leaf truth-table select:
+    3 batched CMuxes of batch G*bits."""
+    G = len(ops)
+    W = bits
+
+    def leaves(v_idx):
+        rows = []
+        for op in ops:
+            v = _BITWISE_TABLES[op][v_idx]
+            one = fheuint.trivial_word(params, [v], bits)
+            rows.append(jnp.broadcast_to(one, (W,) + one.shape))
+        return jnp.concatenate(rows, axis=0)  # [G*W, C, L, N]
+
+    l00, l01, l10, l11 = (leaves(i) for i in range(4))
+    b_all = jnp.concatenate(
+        [(immp if op in _IMM_OPS else rs2p)[:, :W] for op in ops], axis=1)
+    a_all = jnp.concatenate([rs1p[:, :W]] * G, axis=1)
+    hi = circuits.cmux(params, ctx, b_all, l11, l10)
+    lo = circuits.cmux(params, ctx, b_all, l01, l00)
+    out = circuits.cmux(params, ctx, a_all, hi, lo)  # [G*W, C, L, N]
+    out = out.reshape((G, W) + out.shape[1:])
+    return {op: circuits.assemble_word(params, out[gi], bits)
+            for gi, op in enumerate(ops)}
+
+
+def _shift_group(params: Params, ctx: NTTContext, ops, rs1p, rs2p, immp,
+                 atk, bits: int):
+    """All shifts as one slot extraction + one batched barrel
+    (log2(bits) batched CMuxes of batch G*bits)."""
+    G = len(ops)
+    W = bits
+    logw = W.bit_length() - 1
+    word = circuits.word_from_bits(params, ctx, rs1p, bits)
+    slots0 = circuits.extract_slots(params, ctx, word, atk, bits)
+    slots = jnp.broadcast_to(slots0, (G,) + slots0.shape)  # [G, W, C, L, N]
+    zero = jnp.zeros_like(slots0[0])
+    for k in range(logw):
+        s = 1 << k
+        rolled = []
+        for gi, op in enumerate(ops):
+            kind = _SHIFT_KINDS[op]
+            cur = slots[gi]
+            if kind == "sll":
+                r = jnp.concatenate(
+                    [jnp.broadcast_to(zero, (s,) + zero.shape), cur[:-s]], 0)
+            elif kind == "srl":
+                r = jnp.concatenate(
+                    [cur[s:], jnp.broadcast_to(zero, (s,) + zero.shape)], 0)
+            else:  # sra
+                top = jnp.broadcast_to(cur[-1], (s,) + zero.shape)
+                r = jnp.concatenate([cur[s:], top], 0)
+            rolled.append(r)
+        rolled = jnp.stack(rolled).reshape((G * W,) + zero.shape)
+        bk = jnp.concatenate(
+            [jnp.repeat((immp if op in _IMM_OPS else rs2p)[:, k : k + 1],
+                        W, axis=1) for op in ops], axis=1)
+        flat = slots.reshape((G * W,) + zero.shape)
+        slots = circuits.cmux(params, ctx, bk, rolled, flat).reshape(slots.shape)
+    return {op: circuits.assemble_word(params, slots[gi], bits)
+            for gi, op in enumerate(ops)}
+
+
+# --------------------------------------------------------------------------
+# public API
+# --------------------------------------------------------------------------
+
 def eval_op(params: Params, ctx: NTTContext, op: str, rs1p, rs2p, immp,
             atk, bits: int = 32):
-    """One ALU op -> FheUint word GLWE."""
-    b = {"addi": immp, "slti": immp, "sltiu": immp, "xori": immp,
-         "ori": immp, "andi": immp, "slli": immp, "srli": immp,
-         "srai": immp}.get(op, rs2p)
+    """One ALU op -> FheUint word GLWE (single-op path, kept for tests
+    and incremental use; eval_ops batches groups instead)."""
     if op == "none":
         C = params.rank + 1
         return jnp.zeros((C, params.limbs_ct, params.n), dtype=jnp.int32)
-    if op in ("add", "addi"):
-        return circuits.add(params, ctx, rs1p, b, bits)
-    if op == "sub":
-        return circuits.sub(params, ctx, rs1p, b, bits)
-    if op in ("xor", "xori"):
-        return circuits.bitwise(params, ctx, "xor", rs1p, b, bits)
-    if op in ("or", "ori"):
-        return circuits.bitwise(params, ctx, "or", rs1p, b, bits)
-    if op in ("and", "andi"):
-        return circuits.bitwise(params, ctx, "and", rs1p, b, bits)
-    if op in ("slt", "slti"):
-        return circuits.slt(params, ctx, rs1p, b, bits)
-    if op in ("sltu", "sltiu"):
-        return circuits.sltu(params, ctx, rs1p, b, bits)
-    if op in ("sll", "slli", "srl", "srli", "sra", "srai"):
-        kind = {"sll": "sll", "slli": "sll", "srl": "srl", "srli": "srl",
-                "sra": "sra", "srai": "sra"}[op]
-        word = circuits.word_from_bits(params, ctx, rs1p, bits)
-        return circuits.shift(params, ctx, word, b, atk, kind, bits)
+    if op in _DP_SPECS:
+        return _dp_group(params, ctx, (op,), rs1p, rs2p, immp, bits)[op]
+    if op in _BITWISE_TABLES:
+        return _bitwise_group(params, ctx, (op,), rs1p, rs2p, immp, bits)[op]
+    if op in _SHIFT_KINDS:
+        return _shift_group(params, ctx, (op,), rs1p, rs2p, immp, atk, bits)[op]
     raise ValueError(op)
 
 
 def eval_ops(params: Params, ctx: NTTContext, rs1p, rs2p, immp, atk,
              ops=RVI32_OPS, bits: int = 32):
     """Evaluate all ops; result i packed at coefficient offset i
-    (src/arithmetic.rs:155-210)."""
+    (src/arithmetic.rs:155-210), group-batched (see module docstring)."""
     n_ops = len(ops)
     # select_rd's partial trace keeps every gap-th coefficient: two packed
     # results whose offsets differ by a multiple of gap would alias.
     assert n_ops <= fheuint.gap(params, bits), (
         f"{n_ops} packed ops alias under the bits={bits} slot stride "
         f"(gap={fheuint.gap(params, bits)}); use a larger ring")
+    words = {}
+    dp_ops = tuple(op for op in ops if op in _DP_SPECS)
+    bw_ops = tuple(op for op in ops if op in _BITWISE_TABLES)
+    sh_ops = tuple(op for op in ops if op in _SHIFT_KINDS)
+    if dp_ops:
+        words.update(_dp_group(params, ctx, dp_ops, rs1p, rs2p, immp, bits))
+    if bw_ops:
+        words.update(_bitwise_group(params, ctx, bw_ops, rs1p, rs2p, immp, bits))
+    if sh_ops:
+        words.update(_shift_group(params, ctx, sh_ops, rs1p, rs2p, immp, atk, bits))
+
     rd = None
     for i, op in enumerate(ops):
-        res = eval_op(params, ctx, op, rs1p, rs2p, immp, atk, bits)
-        rd = res if rd is None else limb_ops.normalize(rd + res)
-        rd = poly.rotate(rd, -1)
-    return limb_ops.normalize(poly.rotate(rd, n_ops))
+        if op == "none":
+            continue  # zero word contributes nothing
+        r = poly.rotate(words[op], i)
+        rd = r if rd is None else rd + r
+    if rd is None:
+        C = params.rank + 1
+        return jnp.zeros((C, params.limbs_ct, params.n), dtype=jnp.int32)
+    return limb_ops.normalize(rd)
 
 
 def select_rd(params: Params, ctx: NTTContext, rd_packed, op_id_prep,
@@ -100,3 +268,23 @@ def select_rd(params: Params, ctx: NTTContext, rd_packed, op_id_prep,
                              negate=True)
     keep_log = bits.bit_length() - 1
     return keyswitch.trace(params, ctx, rd, atk, keep_log=keep_log)
+
+
+# --------------------------------------------------------------------------
+# cached jit entry points (one compile per shape -- the VM "server loop")
+# --------------------------------------------------------------------------
+
+@lru_cache(maxsize=None)
+def eval_ops_jit(params: Params, ops=RVI32_OPS, bits: int = 32):
+    """Jitted eval_ops: (rs1p, rs2p, immp, atk) -> packed rd."""
+    ctx = get_ntt_context(params.n, params.primes)
+    return jax.jit(lambda rs1p, rs2p, immp, atk: eval_ops(
+        params, ctx, rs1p, rs2p, immp, atk, ops, bits))
+
+
+@lru_cache(maxsize=None)
+def select_rd_jit(params: Params, ops_len: int, bits: int = 32):
+    """Jitted select_rd: (rd_packed, op_id_prep, atk) -> rd word."""
+    ctx = get_ntt_context(params.n, params.primes)
+    return jax.jit(lambda rd_packed, op_id_prep, atk: select_rd(
+        params, ctx, rd_packed, op_id_prep, ops_len, atk, bits))

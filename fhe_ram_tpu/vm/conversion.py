@@ -16,11 +16,14 @@ its caller's convention; we emit the RAM-compatible sign)."""
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..params import Params
-from ..ops.ntt import NTTContext, ntt_fwd
+from ..ops.ntt import NTTContext, get_ntt_context, ntt_fwd
 from ..ops import limb as limb_ops
 from ..ops import poly
 from ..core import ggsw
@@ -97,3 +100,12 @@ def fheuint_to_address(params: Params, ctx: NTTContext, fheuint_prep):
         coords_prep.append(ggsw.prepare(ctx, stack))
     return (Address(coordinates=tuple(coords_coeff)),
             AddressPrepared(coordinates=tuple(coords_prep)))
+
+
+@lru_cache(maxsize=None)
+def fheuint_to_address_jit(params: Params):
+    """Jitted pointer->address conversion (one compile per shape):
+    fheuint_prep -> (Address, AddressPrepared)."""
+    ctx = get_ntt_context(params.n, params.primes)
+    return jax.jit(lambda fheuint_prep: fheuint_to_address(
+        params, ctx, fheuint_prep))

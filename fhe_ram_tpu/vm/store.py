@@ -12,10 +12,13 @@ results, one batched trace per source word."""
 
 from __future__ import annotations
 
+from functools import lru_cache
+
+import jax
 import jax.numpy as jnp
 
 from ..params import Params
-from ..ops.ntt import NTTContext
+from ..ops.ntt import NTTContext, get_ntt_context
 from ..ops import limb as limb_ops
 from ..ops import poly
 from ..core import keyswitch
@@ -72,3 +75,13 @@ def select_store(params: Params, ctx: NTTContext, rs2, loaded, offset_prep,
     res = glwe_blind_rotation(params, ctx, res, op_prep, 0, 2, lsh=0)
     keep_log = bits.bit_length() - 1
     return keyswitch.trace(params, ctx, res, atk, keep_log=keep_log)
+
+
+@lru_cache(maxsize=None)
+def select_store_jit(params: Params, bits: int = 32):
+    """Jitted select_store (one compile per shape -- the VM server loop):
+    (rs2, loaded, offset_prep, op_prep, atk) -> stored word."""
+    ctx = get_ntt_context(params.n, params.primes)
+    return jax.jit(lambda rs2, loaded, offset_prep, op_prep, atk:
+                   select_store(params, ctx, rs2, loaded, offset_prep,
+                                op_prep, atk, bits))

@@ -75,16 +75,17 @@ def main():
     print(f"transfer: {time.time()-t0:.1f}s", flush=True)
 
     server = ram_mod.FheRam(par, keys_dev)
+    st = server.init_state(ram_dev)
 
     t0 = time.time()
-    out = server.read(ram_dev, addr_dev)
+    out = server.read(st, addr_dev)
     jax.block_until_ready(out)
     print(f"read compile+first: {time.time()-t0:.1f}s", flush=True)
 
     times = []
     for _ in range(args.iters):
         t0 = time.time()
-        out = server.read(ram_dev, addr_dev)
+        out = server.read(st, addr_dev)
         jax.block_until_ready(out)
         times.append(time.time() - t0)
     print(f"read times: {[f'{t*1000:.1f}ms' for t in times]}", flush=True)
@@ -102,10 +103,9 @@ def main():
         print("READ CORRECT" if ok else "READ WRONG", flush=True)
 
     if args.writes:
-        server.pending_write = False
         t0 = time.time()
-        out, ram2, tree = server.read_prepare_write(ram_dev, addr_dev)
-        jax.block_until_ready(ram2)
+        out, st = server.read_prepare_write(st, addr_dev)
+        jax.block_until_ready(st.data)
         print(f"rpw compile+first: {time.time()-t0:.1f}s", flush=True)
 
         with client_ctx():
@@ -113,23 +113,22 @@ def main():
             w_ct = ram_mod.encrypt_write_word(par, ctx, s_ntt, new_word, src)
         w_dev = jax.device_put(w_ct, tpu)
         t0 = time.time()
-        ram3 = server.write(ram2, tree, w_dev, addr_coeff_dev)
-        jax.block_until_ready(ram3)
+        st = server.write(st, w_dev, addr_coeff_dev)
+        jax.block_until_ready(st.data)
         print(f"write compile+first: {time.time()-t0:.1f}s", flush=True)
 
         # timed rpw + write (one full cycle each)
-        server.pending_write = False
         t0 = time.time()
-        out, ram2, tree = server.read_prepare_write(ram3, addr_dev)
-        jax.block_until_ready(ram2)
+        out, st = server.read_prepare_write(st, addr_dev)
+        jax.block_until_ready(st.data)
         t_rpw = time.time() - t0
         t0 = time.time()
-        ram4 = server.write(ram2, tree, w_dev, addr_coeff_dev)
-        jax.block_until_ready(ram4)
+        st = server.write(st, w_dev, addr_coeff_dev)
+        jax.block_until_ready(st.data)
         t_w = time.time() - t0
         print(f"rpw: {t_rpw*1000:.1f}ms write: {t_w*1000:.1f}ms", flush=True)
 
-        out2 = server.read(ram4, addr_dev)
+        out2 = server.read(st, addr_dev)
         with client_ctx():
             out2_cpu = (out2 if os.environ.get("FHERAM_NTT") == "pallas"
                         else jax.device_put(out2, cpu))

@@ -44,7 +44,7 @@ def test_keys_state_address_roundtrip(tmp_path):
     # a reload must decrypt correctly end-to-end
     ekp = keys.prepare(PAR, ek2)
     server = ram_mod.FheRam(PAR, ekp)
-    out = server.read(d2, address_mod.prepare(ctx, a2))
+    out = server.read(server.init_state(d2), address_mod.prepare(ctx, a2))
     want = glwe.cast_u8_signed(int(data[3 * PAR.word_size]), PAR.k_pt)
     ph = glwe.phase(PAR, ctx, s_ntt, out[0])
     val, noise = glwe.decode_coeff0(PAR, np.asarray(ph), want)

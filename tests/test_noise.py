@@ -94,7 +94,7 @@ def test_read_noise_bound():
     for idx in [0, 133]:
         ap = address_mod.prepare(
             CTX, address_mod.encrypt(PAR, CTX, s_ntt, idx, src))
-        out = np.asarray(server.read(ram_ct, ap))
+        out = np.asarray(server.read(server.init_state(ram_ct), ap))
         for i in range(PAR.word_size):
             want = glwe.cast_u8_signed(int(data[idx * PAR.word_size + i]), PAR.k_pt)
             ph = glwe.phase(PAR, CTX, s_ntt, out[i])

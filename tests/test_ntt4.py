@@ -77,7 +77,7 @@ def test_e2e_read_with_fourstep_backend():
         ram_ct = ram_mod.encrypt_ram(PAR, ctx, s_ntt, data, src)
         idx = 7
         ap = address_mod.prepare(ctx, address_mod.encrypt(PAR, ctx, s_ntt, idx, src))
-        out = np.asarray(server.read(ram_ct, ap))
+        out = np.asarray(server.read(server.init_state(ram_ct), ap))
         for i in range(PAR.word_size):
             want = glwe.cast_u8_signed(int(data[idx * PAR.word_size + i]), PAR.k_pt)
             ph = glwe.phase(PAR, ctx, s_ntt, jnp.asarray(out[i]))

@@ -45,7 +45,7 @@ def test_read(par):
     for idx in [0, 1, par.max_addr // 2 + 3, par.max_addr - 1]:
         addr = address_mod.encrypt(par, ctx, s_ntt, idx, src)
         ap = address_mod.prepare(ctx, addr)
-        out = server.read(ram_ct, ap)
+        out = server.read(server.init_state(ram_ct), ap)
         check_word(par, ctx, s_ntt, np.asarray(out), data, idx, f"read idx={idx}")
 
 
@@ -61,22 +61,34 @@ def test_read_write_cycle(par):
     addr = address_mod.encrypt(par, ctx, s_ntt, idx, src)
     ap = address_mod.prepare(ctx, addr)
 
-    # read_prepare_write returns the same value as read
-    out, ram_ct, tree = server.read_prepare_write(ram_ct, ap)
-    check_word(par, ctx, s_ntt, np.asarray(out), data, idx, "rpw")
+    st = server.init_state(ram_ct)
 
-    # write a new word
+    # protocol guard: write before read_prepare_write must refuse
     new_word = rnd.integers(0, 256, size=par.word_size).astype(np.uint8)
     w_ct = ram_mod.encrypt_write_word(par, ctx, s_ntt, new_word, src)
-    ram_ct = server.write(ram_ct, tree, w_ct, addr)
+    with pytest.raises(AssertionError):
+        server.write(st, w_ct, addr)
+
+    # read_prepare_write returns the same value as read
+    out, st = server.read_prepare_write(st, ap)
+    check_word(par, ctx, s_ntt, np.asarray(out), data, idx, "rpw")
+
+    # protocol guard: read / rpw while a write is pending must refuse
+    with pytest.raises(AssertionError):
+        server.read(st, ap)
+    with pytest.raises(AssertionError):
+        server.read_prepare_write(st, ap)
+
+    # write the new word
+    st = server.write(st, w_ct, addr)
     data[idx * par.word_size : (idx + 1) * par.word_size] = new_word
 
     # read back at the written address
-    out = server.read(ram_ct, ap)
+    out = server.read(st, ap)
     check_word(par, ctx, s_ntt, np.asarray(out), data, idx, "read-back")
 
     # other addresses must be untouched
     for other in [(idx + 1) % par.max_addr, (idx + par.max_addr // 2) % par.max_addr]:
         a2 = address_mod.prepare(ctx, address_mod.encrypt(par, ctx, s_ntt, other, src))
-        out2 = server.read(ram_ct, a2)
+        out2 = server.read(st, a2)
         check_word(par, ctx, s_ntt, np.asarray(out2), data, other, f"other idx={other}")

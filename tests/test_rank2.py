@@ -101,7 +101,8 @@ def test_rank2_ram_rmw_cycle():
     idx = 201
     addr = address_mod.encrypt(PAR, CTX, s_ntt, idx, src)
     ap = address_mod.prepare(CTX, addr)
-    out = np.asarray(server.read(ram_ct, ap))
+    st = server.init_state(ram_ct)
+    out = np.asarray(server.read(st, ap))
     for i in range(PAR.word_size):
         want = glwe.cast_u8_signed(int(data[idx * PAR.word_size + i]), PAR.k_pt)
         val, noise = glwe.decode_coeff0(
@@ -111,9 +112,9 @@ def test_rank2_ram_rmw_cycle():
 
     new_word = rnd.integers(0, 256, size=PAR.word_size).astype(np.uint8)
     w_ct = ram_mod.encrypt_write_word(PAR, CTX, s_ntt, new_word, src)
-    _, d2, tree = server.read_prepare_write(ram_ct, ap)
-    d3 = server.write(d2, tree, w_ct, addr)
-    out2 = np.asarray(server.read(d3, ap))
+    _, st = server.read_prepare_write(st, ap)
+    st = server.write(st, w_ct, addr)
+    out2 = np.asarray(server.read(st, ap))
     for i in range(PAR.word_size):
         want = glwe.cast_u8_signed(int(new_word[i]), PAR.k_pt)
         val, noise = glwe.decode_coeff0(

@@ -46,7 +46,7 @@ def test_batched_read_sharded_matches_single(world):
 
     server = ram_mod.FheRam(PAR, ekp)
     for b, ap in enumerate(aps):
-        out1 = np.asarray(server.read(ram_ct, ap))
+        out1 = np.asarray(server.read(server.init_state(ram_ct), ap))
         assert np.array_equal(out_sh[b], out1), f"batch {b} mismatch"
 
 
@@ -58,7 +58,7 @@ def test_row_sharded_read_matches(world):
     atk_sh = jax.device_put(ekp.atk_glwe, mesh_mod.replicated(mesh))
     out = np.asarray(fn(data_sh, aps[0].coordinates, atk_sh))
     server = ram_mod.FheRam(PAR, ekp)
-    out1 = np.asarray(server.read(ram_ct, aps[0]))
+    out1 = np.asarray(server.read(server.init_state(ram_ct), aps[0]))
     assert np.array_equal(out, out1)
 
 

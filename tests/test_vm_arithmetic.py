@@ -55,6 +55,41 @@ def test_eval_ops_and_select(world):
         assert got == want, (op, got, want)
 
 
+def test_eval_ops_full_rv32i_enum_u32():
+    """The reference's exhaustive strategy at full width: ALL 20 RV32I
+    ops evaluated at u32, packed, and select_rd driven over the full
+    table (src/arithmetic.rs:300-409, also at N=1024).  Runs through the
+    cached jit entry points (the VM server loop)."""
+    from fhe_ram_tpu.params import PARAMS_TEST_VM1024 as PV
+
+    ctxv = get_ntt_context(PV.n, PV.primes)
+    src = rng.Source(43)
+    sk = rng.ternary_secret(src.split(), PV.rank, PV.n, PV.xs_density)
+    s_ntt = glwe.secret_prepare(ctxv, sk)
+    ekp = keys.prepare(PV, keys.keygen(PV, sk, src))
+
+    B32 = 32
+    a, b, imm = 0xB4C0FFEE, 0x2D17A3E5, 0x000007A5
+    rs1 = fheuint.encrypt_prepared(PV, ctxv, s_ntt, a, src, B32)
+    rs2 = fheuint.encrypt_prepared(PV, ctxv, s_ntt, b, src, B32)
+    immp = fheuint.encrypt_prepared(PV, ctxv, s_ntt, imm, src, B32)
+
+    ops = arithmetic.RVI32_OPS
+    assert len(ops) == 20
+    packed = arithmetic.eval_ops_jit(PV, ops, B32)(rs1, rs2, immp,
+                                                   ekp.atk_glwe)
+    sel_fn = arithmetic.select_rd_jit(PV, len(ops), B32)
+    for op_id, op in enumerate(ops):
+        idp = fheuint.encrypt_prepared(PV, ctxv, s_ntt, op_id, src, B32)
+        sel = sel_fn(packed, idp, ekp.atk_glwe)
+        got = fheuint.decrypt_word(PV, ctxv, s_ntt, sel, B32)
+        operand = imm if op in arithmetic._IMM_OPS else b
+        want = model_op(op.rstrip("i") if op not in ("slti", "sltiu")
+                        else {"slti": "slt", "sltiu": "sltu"}[op],
+                        a, operand, B32)
+        assert got == want, (op, hex(got), hex(want))
+
+
 def test_select_store_all_combinations():
     # u32 store semantics need gap = N/32 >= 16 packed cases -> N=512 ring
     # (same geometry as the reference store test, src/store.rs:163)

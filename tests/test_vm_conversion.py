@@ -31,7 +31,7 @@ def test_pointer_drives_ram_read():
             PAR, CTX, s_ntt, idx, src, bits=ptr_bits,
             dnum=PAR.dnum_ggsw, limbs=PAR.limbs_evk_ggsw)
         _, addr_prep = conversion.fheuint_to_address(PAR, CTX, up)
-        out = np.asarray(server.read(ram_ct, addr_prep))
+        out = np.asarray(server.read(server.init_state(ram_ct), addr_prep))
         for i in range(PAR.word_size):
             want = glwe.cast_u8_signed(int(data[idx * PAR.word_size + i]), PAR.k_pt)
             ph = glwe.phase(PAR, CTX, s_ntt, out[i])
@@ -66,18 +66,18 @@ def test_pointer_drives_ram_write():
     new_word = rnd.integers(0, 256, size=PAR.word_size).astype(np.uint8)
     w_ct = ram_mod.encrypt_write_word(PAR, CTX, s_ntt, new_word, src)
 
-    out, d2, tree = server.read_prepare_write(ram_ct, addr_prep)
+    out, st = server.read_prepare_write(server.init_state(ram_ct), addr_prep)
     for i in range(PAR.word_size):
         want = glwe.cast_u8_signed(int(data[idx * PAR.word_size + i]), PAR.k_pt)
         ph = glwe.phase(PAR, CTX, s_ntt, np.asarray(out)[i])
         val, _ = glwe.decode_coeff0(PAR, np.asarray(ph), want)
         assert int(val) == want, ("rpw", i)
 
-    d3 = server.write(d2, tree, w_ct, addr)
+    st = server.write(st, w_ct, addr)
 
     from fhe_ram_tpu.ram import address as address_mod
     ap2 = address_mod.prepare(CTX, address_mod.encrypt(PAR, CTX, s_ntt, idx, src))
-    out2 = np.asarray(server.read(d3, ap2))
+    out2 = np.asarray(server.read(st, ap2))
     for i in range(PAR.word_size):
         want = glwe.cast_u8_signed(int(new_word[i]), PAR.k_pt)
         ph = glwe.phase(PAR, CTX, s_ntt, out2[i])
@@ -86,7 +86,7 @@ def test_pointer_drives_ram_write():
         assert noise < -(PAR.k_pt + 1), noise
 
     ap3 = address_mod.prepare(CTX, address_mod.encrypt(PAR, CTX, s_ntt, other, src))
-    out3 = np.asarray(server.read(d3, ap3))
+    out3 = np.asarray(server.read(st, ap3))
     for i in range(PAR.word_size):
         want = glwe.cast_u8_signed(int(data[other * PAR.word_size + i]), PAR.k_pt)
         ph = glwe.phase(PAR, CTX, s_ntt, out3[i])
