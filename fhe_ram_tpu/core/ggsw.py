@@ -124,19 +124,17 @@ def external_product(params: Params, ctx: NTTContext, ct, ggsw_ntt,
     from ..ops import ntt as ntt_mod
 
     if ntt_mod.get_backend() == "pallas" and n == 4096:
-        # single-kernel path: fwd NTT + VMP + inverse NTT fused in VMEM
-        from ..ops.ntt_pallas import get_pallas_context, fused_external_pallas
+        # v2 single-kernel path: fwd NTT + VMP + inverse NTT + exact CRT
+        # fold + carry normalize, all in VMEM (see ntt_pallas.py)
+        from ..ops.ntt_pallas import get_pallas_context, fused_external_fold_pallas
 
         pctx = get_pallas_context(n, ctx.primes)
         lead_shape = ct.shape[:-3]
         x = ct.reshape((-1, C * D, n))
         keys = jnp.transpose(ggsw_ntt, (0, 2, 1, 3, 4, 5)).reshape(
-            P, C * D, C2 * Lg, n)
-        conv = fused_external_pallas(pctx, x, keys)
-        conv = conv.reshape((P,) + lead_shape + (C2, Lg, n))
-        pp, ipp = ctx.consts(conv.ndim)
-        out = crt_fold(ctx.primes, conv, 17, Lout, pp, ipp)
-        return limb_ops.normalize(out)
+            P, 1, C * D, C2 * Lg, n)
+        out = fused_external_fold_pallas(pctx, x, keys, Lout, C2)
+        return out.reshape(lead_shape + (C2, Lout, n))
 
     dig_ntt = ntt_fwd(ctx, ct)  # [P, ..., C, D, N]
     lead = dig_ntt.ndim - 4  # number of batch axes between P and (C, D, N)

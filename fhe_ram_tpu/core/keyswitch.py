@@ -72,10 +72,15 @@ def key_prepare(ctx: NTTContext, key):
 
 
 def keyswitch(params: Params, ctx: NTTContext, ct, key_ntt,
-              out_limbs: int | None = None):
+              out_limbs: int | None = None, base_add=None):
     """Key-switch ct (under the key's source secret) to the key's target
     secret.  ct: int32[..., C, L, N] normalized; key_ntt:
-    int32[P, D, rank, C2, Lk, N] with D == L."""
+    int32[P, D, rank, C2, Lk, N] with D == L.
+
+    base_add: optional int32[..., C2, Lout, N] added to the result
+    before the final normalize (fused into the kernel epilogue on the
+    pallas path) -- callers that compute `x + KS(...)` (trace steps,
+    packer merges) pass x here and skip their own add+normalize."""
     P, D, rank, C2, Lk, n = key_ntt.shape
     L = ct.shape[-2]
     assert D == L and ct.shape[-3] == rank + 1
@@ -87,21 +92,23 @@ def keyswitch(params: Params, ctx: NTTContext, ct, key_ntt,
     from ..ops import ntt as ntt_mod
 
     if ntt_mod.get_backend() == "pallas" and n == 4096:
-        from ..ops.ntt_pallas import get_pallas_context, fused_external_pallas
+        # v2 kernel: VMP + iNTT + CRT fold + (base - ks) + normalize
+        from ..ops.ntt_pallas import get_pallas_context, fused_external_fold_pallas
 
         pctx = get_pallas_context(n, ctx.primes)
         lead_shape = ct.shape[:-3]
         x = a.reshape((-1, rank * D, n))
         keys = jnp.transpose(key_ntt, (0, 2, 1, 3, 4, 5)).reshape(
-            P, rank * D, C2 * Lk, n)
-        conv = fused_external_pallas(pctx, x, keys)
-        conv = conv.reshape((P,) + lead_shape + (C2, Lk, n))
-        pp, ipp = ctx.consts(conv.ndim)
-        ks = crt_fold(ctx.primes, conv, 17, Lout, pp, ipp)
-        out_a = -ks[..., :rank, :, :]
-        out_b = limb_ops.resize_limbs(b, Lout) - ks[..., rank, :, :]
-        out = jnp.concatenate([out_a, out_b[..., None, :, :]], axis=-3)
-        return limb_ops.normalize(out)
+            P, 1, rank * D, C2 * Lk, n)
+        b_emb = limb_ops.resize_limbs(b, Lout)[..., None, :, :]
+        pad = jnp.zeros(lead_shape + (C2 - 1, Lout, n), dtype=I32)
+        base = jnp.concatenate([pad, b_emb], axis=-3)
+        if base_add is not None:
+            base = base + base_add
+        base = base.reshape((-1, C2, Lout, n))
+        out = fused_external_fold_pallas(pctx, x, keys, Lout, C2,
+                                         base=base, sign=-1)
+        return out.reshape(lead_shape + (C2, Lout, n))
 
     dig_ntt = ntt_fwd(ctx, a)  # [P, ..., rank, D, N]
     lead = dig_ntt.ndim - 4
@@ -121,14 +128,16 @@ def keyswitch(params: Params, ctx: NTTContext, ct, key_ntt,
     out_a = -ks[..., :rank, :, :]
     out_b = limb_ops.resize_limbs(b, Lout) - ks[..., rank, :, :]
     out = jnp.concatenate([out_a, out_b[..., None, :, :]], axis=-3)
+    if base_add is not None:
+        out = out + base_add
     return limb_ops.normalize(out)
 
 
 def automorphism_ks(params: Params, ctx: NTTContext, ct, g: int, key_ntt,
-                    out_limbs: int | None = None):
+                    out_limbs: int | None = None, base_add=None):
     """sigma_g applied homomorphically: permute + key-switch."""
     ct_g = poly.automorphism(ct, g)
-    return keyswitch(params, ctx, ct_g, key_ntt, out_limbs)
+    return keyswitch(params, ctx, ct_g, key_ntt, out_limbs, base_add=base_add)
 
 
 def trace(params: Params, ctx: NTTContext, ct, auto_keys_ntt: dict,
@@ -161,7 +170,6 @@ def trace(params: Params, ctx: NTTContext, ct, auto_keys_ntt: dict,
         shift -= s
     ct = limb_ops.normalize(ct)
     for g in params.trace_gal_els[:steps]:
-        t = automorphism_ks(params, ctx, ct, g, auto_keys_ntt[g],
-                            out_limbs=ct.shape[-2])
-        ct = limb_ops.normalize(ct + t)
+        ct = automorphism_ks(params, ctx, ct, g, auto_keys_ntt[g],
+                             out_limbs=ct.shape[-2], base_add=ct)
     return ct

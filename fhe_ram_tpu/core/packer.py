@@ -76,19 +76,20 @@ def pack(params: Params, ctx: NTTContext, cts, auto_keys_ntt: dict):
         # transient conv tensors would blow HBM
         nb = int(np.prod(v.shape[:-3]))
         if nb <= _KS_CHUNK:
-            w = keyswitch.automorphism_ks(params, ctx, v, g, auto_keys_ntt[g],
-                                          out_limbs=v.shape[-2])
+            # fused: cts = normalize(u + KS(sigma_g(v)))
+            cts = keyswitch.automorphism_ks(params, ctx, v, g, auto_keys_ntt[g],
+                                            out_limbs=v.shape[-2], base_add=u)
         else:
             # sequential lax.map slices (see ram._chunked_product note)
             step = max(1, _KS_CHUNK // max(1, nb // v.shape[0]))
             step = 1 << (step.bit_length() - 1)  # v.shape[0] is a power of 2
             step = min(step, v.shape[0])
             sliced = v.reshape(v.shape[0] // step, step, *v.shape[1:])
-            w = jax.lax.map(
+            ub = u.reshape(sliced.shape)
+            cts = jax.lax.map(
                 lambda s: keyswitch.automorphism_ks(
-                    params, ctx, s, g, auto_keys_ntt[g],
-                    out_limbs=v.shape[-2]),
-                sliced)
-            w = w.reshape(v.shape)
-        cts = limb_ops.normalize(u + w)
+                    params, ctx, s[0], g, auto_keys_ntt[g],
+                    out_limbs=v.shape[-2], base_add=s[1]),
+                (sliced, ub))
+            cts = cts.reshape(v.shape)
     return cts[0]

@@ -32,6 +32,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .ntt import _primitive_root, _center
+from .crt import garner_consts
 
 I32 = jnp.int32
 F32 = jnp.float32
@@ -332,3 +333,273 @@ def fused_external_pallas(ctx: NTTPallasContext, x, keys_ntt,
     )(ctx.p_arr, ctx.ip_arr, x, k4, ctx.twist, ctx.twA, ctx.twB,
       ctx.inv_twist, ctx.twAi, ctx.twBi)
     return out[:, :B].reshape(P, B, M, n)
+
+
+# --------------------------------------------------------------------------
+# v2 kernel: prime axis INSIDE + Garner/fold/normalize epilogue in VMEM
+# --------------------------------------------------------------------------
+#
+# Motivation (round-2 phase attribution, BENCH_NOTES.md): the v1 fused
+# kernel writes per-prime conv residues to HBM ([P, B, M, N], ~100 MB at
+# the 2^18 level-0 shape) and reconstructs limbs in an XLA chain
+# (garner -> base-2^9 digits -> fold -> normalize) that round-trips
+# HBM several more times -- 8.3 ms per digit product vs a ~0.5 ms HBM
+# roofline.  Here the THREE primes' pipelines run inside one kernel
+# instance and the exact CRT reconstruction + limb fold + carry
+# normalize happen on VMEM tiles, so HBM traffic is: digits in + keys +
+# normalized limbs out.  The optional `base` input fuses the consumer
+# add (keyswitch b - ks, CMux low + sel) and its normalize too.
+#
+# With digits > 1 the kernel chains a whole CMux digit chain (the
+# coordinate product of ram/address.py): each digit's normalized output
+# limbs are the next digit's gadget digits, all without leaving VMEM.
+#
+# The digit chain is a GRID dimension (innermost), not an unrolled
+# in-kernel loop: TPU grids execute sequentially on a core and VMEM
+# scratch persists across steps, so the running ciphertext lives in a
+# scratch buffer while each step's keys stream through a 1-digit block
+# (a whole 4-digit key block plus double buffering was a 19.5 MB scoped
+# VMEM allocation -- over the 16 MB limit).
+
+_TBF = 2  # ct rows per grid step (v2 kernel; 4 exceeds scoped VMEM)
+
+
+def _to_canonical_k(x, p):
+    half = p // 2
+    x = jnp.where(x > half, x - p, x)
+    return jnp.where(x < -half, x + p, x)
+
+
+def _fold_kernel_factory(primes, T: int, C2: int, Lk: int, Lout: int,
+                         digits: int, has_base: bool, sign: int,
+                         base2k: int = 17):
+    P = len(primes)
+    assert P == 3, "fold kernel wired for 3 primes"
+    M = C2 * Lk
+    g = garner_consts(tuple(primes))
+    p1, p2, p3 = primes
+
+    def cent(v, p):
+        return np.int32(v - p if v > p // 2 else v)
+
+    c12 = cent(g["c12"], p2)
+    c123 = cent(g["c123"], p3)
+    p1m3 = cent(g["p1_mod_p3"], p3)
+    p1_digits = g["p1_digits"]
+    p1p2_digits = g["p1p2_digits"]
+    ndig = 8  # base-2^9 digits covering the integer range (ops/crt.py)
+    half9 = 1 << 8
+    mask9 = (1 << 9) - 1
+    halfb = 1 << (base2k - 1)
+    maskb = (1 << base2k) - 1
+
+    def kernel(*refs):
+        if has_base:
+            (x_ref, k_ref, base_ref, twist_ref, twA_ref, twB_ref,
+             itwist_ref, twAi_ref, twBi_ref, o_ref, carry_ref) = refs
+        else:
+            (x_ref, k_ref, twist_ref, twA_ref, twB_ref,
+             itwist_ref, twAi_ref, twBi_ref, o_ref, carry_ref) = refs
+
+        pp = [np.int32(q) for q in primes]
+        ip = [np.float32(1.0 / q) for q in primes]
+        d_id = pl.program_id(1)
+
+        if digits == 1:
+            cur = x_ref[...]  # [TBF, T, R, R]
+        else:
+            # chained digits ride the sequential grid: step d's normalized
+            # output limbs persist in VMEM scratch as step d+1's input
+            @pl.when(d_id == 0)
+            def _():
+                carry_ref[...] = x_ref[...]
+
+            cur = carry_ref[...]
+
+        # forward NTT of all T digit polys, per prime
+        specs = []
+        for p in range(P):
+            x = _mul_mod(cur, twist_ref[p][None, None], pp[p], ip[p])
+            for si in range(6):
+                x = _dif_stage(x, 32 >> si, twA_ref[p, si], pp[p], ip[p])
+            x = jnp.swapaxes(x, -1, -2)
+            for si in range(6):
+                x = _dif_stage(x, 32 >> si, twB_ref[p, si], pp[p], ip[p])
+            specs.append(x)
+
+        # VMP + inverse NTT + exact CRT fold, per output poly m
+        acc = [[None] * Lout for _ in range(C2)]
+        for m in range(M):
+            rs = []
+            for p in range(P):
+                s = None
+                for t in range(T):
+                    term = _mul_mod(specs[p][:, t], k_ref[p, 0, t, m][None],
+                                    pp[p], ip[p])
+                    s = term if s is None else s + term
+                y = _reduce(s, pp[p], ip[p])
+                for si in range(6):
+                    y = _dit_stage(y, 1 << si, twBi_ref[p, 5 - si], pp[p], ip[p])
+                y = jnp.swapaxes(y, -1, -2)
+                for si in range(6):
+                    y = _dit_stage(y, 1 << si, twAi_ref[p, 5 - si], pp[p], ip[p])
+                rs.append(_mul_mod(y, itwist_ref[p][None], pp[p], ip[p]))
+
+            # balanced Garner mixed-radix digits (ops/crt.py semantics)
+            v1 = _to_canonical_k(rs[0], pp[0])
+            v2 = _to_canonical_k(
+                _mul_mod(rs[1] - v1, c12, pp[1], ip[1]), pp[1])
+            tt = _to_canonical_k(_mul_mod(v2, p1m3, pp[2], ip[2]), pp[2])
+            v3 = _to_canonical_k(
+                _mul_mod(rs[2] - v1 - tt, c123, pp[2], ip[2]), pp[2])
+
+            # expand into balanced base-2^9 digits
+            cols = [None] * ndig
+            cols[0] = v1
+            for j, c in enumerate(p1_digits):
+                if c:
+                    add = np.int32(c) * v2
+                    cols[j] = add if cols[j] is None else cols[j] + add
+            for j, c in enumerate(p1p2_digits):
+                if c:
+                    add = np.int32(c) * v3
+                    cols[j] = add if cols[j] is None else cols[j] + add
+            d9 = []
+            carry = None
+            for k in range(ndig):
+                t9 = cols[k] if cols[k] is not None else None
+                if carry is not None:
+                    t9 = carry if t9 is None else t9 + carry
+                if t9 is None:
+                    d9.append(None)
+                    carry = None
+                    continue
+                d = ((t9 + half9) & mask9) - half9
+                carry = (t9 - d) >> 9
+                d9.append(d)
+
+            # fold into the output limb accumulator
+            c2i, lk = m // Lk, m % Lk
+            w = base2k * (lk + 1)
+            for k, d in enumerate(d9):
+                if d is None:
+                    continue
+                e = 9 * k - w
+                if e >= 0:
+                    continue
+                tl = (-e - 1) // base2k
+                if tl >= Lout:
+                    continue
+                s9 = e + base2k * (tl + 1)
+                add = d << s9 if s9 else d
+                if acc[c2i][tl] is None:
+                    acc[c2i][tl] = add
+                else:
+                    acc[c2i][tl] = acc[c2i][tl] + add
+
+        if has_base:
+            base = base_ref[...]  # [TBF, C2*Lout, R, R]
+        outs = []
+        for c2i in range(C2):
+            # balanced carry-propagate normalize over the limb axis
+            lim = []
+            carry = None
+            for l in range(Lout - 1, -1, -1):
+                t = acc[c2i][l]
+                t = jnp.zeros_like(cur[:, 0]) if t is None else t
+                if sign < 0:
+                    t = -t
+                if has_base:
+                    t = t + base[:, c2i * Lout + l]
+                if carry is not None:
+                    t = t + carry
+                d = ((t + halfb) & maskb) - halfb
+                carry = (t - d) >> base2k
+                lim.append(d)
+            lim.reverse()
+            outs.extend(lim)
+        res = jnp.stack(outs, axis=1)  # [TBF, C2*Lout, R, R]
+
+        if digits == 1:
+            o_ref[...] = res
+        else:
+            @pl.when(d_id < digits - 1)
+            def _():
+                carry_ref[...] = res
+
+            @pl.when(d_id == digits - 1)
+            def _():
+                o_ref[...] = res
+
+    return kernel
+
+
+def fused_external_fold_pallas(ctx: NTTPallasContext, x, keys_ntt,
+                               out_limbs: int, c2: int, base=None,
+                               sign: int = 1, interpret: bool = False):
+    """One-kernel external product / keyswitch INCLUDING the exact CRT
+    fold and carry normalize.
+
+    x: int32[B, T, N] normalized gadget digits (coefficient domain).
+    keys_ntt: int32[P, digits, T, M, N] prepared key rows, M = c2*Lk,
+      row-major over (c2, key limb); digits > 1 chains a whole CMux
+      digit chain in VMEM (requires T == c2*out_limbs).
+    base: optional int32[B, c2, out_limbs, N] added (after `sign`) before
+      the in-kernel normalize: out = normalize(base + sign*conv_limbs).
+    Returns int32[B, c2, out_limbs, N] normalized."""
+    n = ctx.n
+    B, T, n_ = x.shape
+    P, digits, T2, M, n3 = keys_ntt.shape
+    assert n_ == n and n3 == n and T2 == T and M % c2 == 0
+    Lk = M // c2
+    if digits > 1:
+        assert T == c2 * out_limbs, "chained digits need T == C2*Lout"
+        assert base is None, "base fusion is single-digit only"
+    x = x.reshape(B, T, _R, _R)
+    Bp = -(-B // _TBF) * _TBF
+    if Bp != B:
+        x = jnp.concatenate(
+            [x, jnp.zeros((Bp - B, T, _R, _R), dtype=x.dtype)], axis=0)
+    k6 = keys_ntt.reshape(P, digits, T, M, _R, _R)
+
+    has_base = base is not None
+    inputs = [x, k6]
+    in_specs = [
+        pl.BlockSpec((_TBF, T, _R, _R), lambda b, d: (b, 0, 0, 0)),
+        # one digit's keys per grid step: the whole chain resident (plus
+        # double buffering) blows the 16 MB scoped-VMEM limit
+        pl.BlockSpec((P, 1, T, M, _R, _R),
+                     lambda b, d: (0, d, 0, 0, 0, 0)),
+    ]
+    if has_base:
+        bb = base.reshape(B, c2 * out_limbs, _R, _R)
+        if Bp != B:
+            bb = jnp.concatenate(
+                [bb, jnp.zeros((Bp - B, c2 * out_limbs, _R, _R), bb.dtype)],
+                axis=0)
+        inputs.append(bb)
+        in_specs.append(
+            pl.BlockSpec((_TBF, c2 * out_limbs, _R, _R),
+                         lambda b, d: (b, 0, 0, 0)))
+    inputs += [ctx.twist, ctx.twA, ctx.twB, ctx.inv_twist, ctx.twAi, ctx.twBi]
+    in_specs += [
+        pl.BlockSpec((P, _R, _R), lambda b, d: (0, 0, 0)),
+        pl.BlockSpec((P, 6, _R, _R), lambda b, d: (0, 0, 0, 0)),
+        pl.BlockSpec((P, 6, _R, _R), lambda b, d: (0, 0, 0, 0)),
+        pl.BlockSpec((P, _R, _R), lambda b, d: (0, 0, 0)),
+        pl.BlockSpec((P, 6, _R, _R), lambda b, d: (0, 0, 0, 0)),
+        pl.BlockSpec((P, 6, _R, _R), lambda b, d: (0, 0, 0, 0)),
+    ]
+
+    out = pl.pallas_call(
+        _fold_kernel_factory(ctx.primes, T, c2, Lk, out_limbs, digits,
+                             has_base, sign),
+        grid=(Bp // _TBF, digits),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((_TBF, c2 * out_limbs, _R, _R),
+                               lambda b, d: (b, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((Bp, c2 * out_limbs, _R, _R), I32),
+        scratch_shapes=[pltpu.VMEM((_TBF, T, _R, _R), I32)],
+        interpret=interpret,
+    )(*inputs)
+    return out[:B].reshape(B, c2, out_limbs, n)

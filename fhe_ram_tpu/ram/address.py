@@ -100,11 +100,41 @@ def prepare(ctx: NTTContext, addr: Address) -> AddressPrepared:
     )
 
 
+# max digits fused into one chained kernel launch (VMEM-bounded: each
+# digit's prepared keys cost P*T*M tiles resident)
+_CHAIN_MAX = 4
+
+
 def coordinate_product(params: Params, ctx: NTTContext, ct, coord_prep):
     """Chained external products of all digit GGSWs of one coordinate
     (the CMux chain, src/coordinate_prepared.rs:145-178).  ct may carry
-    leading batch dims."""
+    leading batch dims.
+
+    On the pallas backend the whole chain (up to _CHAIN_MAX digits) runs
+    as ONE kernel: each digit's fold+normalize output feeds the next
+    digit's gadget decomposition without leaving VMEM."""
+    from ..ops import ntt as ntt_mod
+
     dig = coord_prep.shape[1]
+    n = params.n
+    P, _, D, C, C2, Lg, _n = coord_prep.shape
+    L = ct.shape[-2]
+    if (ntt_mod.get_backend() == "pallas" and n == 4096 and C2 == C
+            and D == L):
+        from ..ops.ntt_pallas import get_pallas_context, fused_external_fold_pallas
+
+        pctx = get_pallas_context(n, ctx.primes)
+        lead_shape = ct.shape[:-3]
+        x = ct.reshape((-1, C * D, n))
+        # [P, dig, D, C, C2, Lg, N] -> [P, dig, C*D, C2*Lg, N]
+        keys = jnp.transpose(coord_prep, (0, 1, 3, 2, 4, 5, 6)).reshape(
+            P, dig, C * D, C2 * Lg, n)
+        for s0 in range(0, dig, _CHAIN_MAX):
+            x = fused_external_fold_pallas(
+                pctx, x, keys[:, s0 : s0 + _CHAIN_MAX], L, C2
+            ).reshape((-1, C2 * L, n))
+        return x.reshape(lead_shape + (C2, L, n))
+
     for i in range(dig):
         ct = ggsw.external_product(params, ctx, ct, coord_prep[:, i])
     return ct

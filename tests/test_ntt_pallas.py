@@ -96,3 +96,60 @@ def test_fused_external_matches_composed():
         got = np.asarray(to_canonical(fused[pi], pr))
         want = np.asarray(to_canonical(composed[pi], pr))
         assert np.array_equal(got, want), f"prime {pr}"
+
+
+def test_fused_fold_kernel_matches_composed():
+    """v2 kernel (in-VMEM Garner+fold+normalize epilogue + fused base):
+    must equal the v1-kernel + ops.crt.crt_fold + normalize chain."""
+    from fhe_ram_tpu.ops.crt import crt_fold
+    from fhe_ram_tpu.ops import limb as limb_ops
+    from fhe_ram_tpu.ops.ntt_pallas import fused_external_fold_pallas
+
+    rnd = np.random.default_rng(3)
+    B, C2, Lk, Lout, T = 1, 2, 4, 3, 6
+    M = C2 * Lk
+    x = jnp.asarray(rnd.integers(-(1 << 16), 1 << 16, size=(B, T, N)), jnp.int32)
+    keys_coeff = jnp.asarray(rnd.integers(-3, 4, size=(T, M, N)), jnp.int32)
+    keys_ntt = ntt_fwd_pallas(PCTX, keys_coeff, interpret=True)
+
+    conv = fused_external_pallas(PCTX, x, keys_ntt, interpret=True)
+    p, ip = prime_consts(PRIMES, conv.ndim)
+    conv = conv.reshape(len(PRIMES), B, C2, Lk, N)
+    ks = limb_ops.normalize(crt_fold(PRIMES, conv, 17, Lout, p, ip))
+
+    base = jnp.asarray(
+        rnd.integers(-(1 << 16), 1 << 16, size=(B, C2, Lout, N)), jnp.int32)
+    want = limb_ops.normalize(base - ks)
+    got = fused_external_fold_pallas(PCTX, x, keys_ntt[:, None], Lout, C2,
+                                     base=base, sign=-1, interpret=True)
+    # the kernel adds base to the RAW folded limbs (one normalize);
+    # compare at the torus level (balanced representations may differ)
+    tf = limb_ops.torus_float
+    d = np.abs(tf(np.asarray(got)) - tf(np.asarray(want)))
+    d = np.minimum(d, 1.0 - d)
+    assert d.max() < 2.0 ** -49, d.max()
+
+
+def test_fused_fold_chain_matches_sequential():
+    """digits=2 chained grid (VMEM scratch carry between digit steps)
+    must equal two sequential single-digit kernel calls bit-exactly."""
+    from fhe_ram_tpu.ops.ntt_pallas import fused_external_fold_pallas
+
+    rnd = np.random.default_rng(7)
+    B, C2, Lout = 2, 2, 3
+    T = C2 * Lout  # chain invariant: output limbs feed the next digit
+    M = C2 * Lout
+    x = jnp.asarray(
+        rnd.integers(-(1 << 16), 1 << 16, size=(B, T, N)), jnp.int32)
+    keys_coeff = jnp.asarray(rnd.integers(-3, 4, size=(2, T, M, N)), jnp.int32)
+    keys_ntt = jnp.stack(
+        [ntt_fwd_pallas(PCTX, keys_coeff[d], interpret=True) for d in range(2)],
+        axis=1)  # [P, 2, T, M, N]
+
+    s1 = fused_external_fold_pallas(PCTX, x, keys_ntt[:, :1], Lout, C2,
+                                    interpret=True)
+    s2 = fused_external_fold_pallas(PCTX, s1.reshape(B, T, N),
+                                    keys_ntt[:, 1:], Lout, C2, interpret=True)
+    chained = fused_external_fold_pallas(PCTX, x, keys_ntt, Lout, C2,
+                                         interpret=True)
+    assert np.array_equal(np.asarray(chained), np.asarray(s2))
