@@ -47,7 +47,10 @@ from . import keyswitch
 
 I32 = jnp.int32
 
-_KS_CHUNK = 512  # max ct count per batched merge keyswitch
+# max ct count per batched merge keyswitch.  Sized for the v1 composed
+# path whose conv transients hit HBM; the v2 fold kernel keeps them in
+# VMEM, so the cap only bounds the (small) gadget-digit staging buffers.
+_KS_CHUNK = 4096
 
 
 def pack(params: Params, ctx: NTTContext, cts, auto_keys_ntt: dict):

@@ -121,17 +121,20 @@ class NTTPallasContext:
                         twB[pi, si, q, :] = pow(w, a_rel, p)
                         twBi[pi, si, q, :] = pow(iw, a_rel, p)
 
+        # tables are NUMPY constants: storing jnp arrays in the
+        # lru-cached context would leak traced constants if the first
+        # construction happens inside a jit trace
         def c(x):
-            return jnp.asarray(
+            return np.ascontiguousarray(
                 np.stack([_center(x[pi], primes[pi]) for pi in range(P)]).astype(np.int32))
 
         self.twist = c(twist)
         self.inv_twist = c(inv_twist)
         self.twA, self.twAi = c(twA), c(twAi)
         self.twB, self.twBi = c(twB), c(twBi)
-        self.p_arr = jnp.asarray(np.asarray(primes, dtype=np.int32).reshape(-1, 1))
-        self.ip_arr = jnp.asarray(
-            np.asarray([1.0 / q for q in primes], dtype=np.float32).reshape(-1, 1))
+        self.p_arr = np.asarray(primes, dtype=np.int32).reshape(-1, 1)
+        self.ip_arr = np.asarray(
+            [1.0 / q for q in primes], dtype=np.float32).reshape(-1, 1)
 
 
 @lru_cache(maxsize=4)
@@ -144,9 +147,36 @@ def _bshape(x, arr):
     return arr.reshape((1,) * (x.ndim - 2) + arr.shape)
 
 
+def _split_halves(x, h, tw):
+    """Regroup the sublane axis into butterfly pairs: [..., 64, 64] ->
+    (lo, hi, tw_hi) each [..., 64/2h, h, 64].  Only for h >= 8: vreg
+    sublane granularity is 8, so these reshapes are pure reindexing
+    (no relayout); below that the roll+select path is used."""
+    lead = x.shape[:-2]
+    nb = _R // (2 * h)
+    y = x.reshape(lead + (nb, 2, h, _R))
+    twh = tw.reshape(nb, 2, h, _R)[:, 1]
+    return y[..., 0, :, :], y[..., 1, :, :], twh.reshape(
+        (1,) * len(lead) + (nb, h, _R))
+
+
+def _join_halves(s, d, shape):
+    lead = shape[:-2]
+    return jnp.stack([s, d], axis=len(lead) + 1).reshape(shape)
+
+
 def _dif_stage(x, h, tw, p, ip):
-    """One DIF stage along the sublane axis (-2) via rolls + masked
-    select; works for any leading dims."""
+    """One DIF stage along the sublane axis (-2); any leading dims.
+
+    h >= 8: true half-compute (pairs regrouped onto a fresh axis; each
+    branch runs on half the rows).  h < 8: rolls + masked selects --
+    both branches compute everywhere (2x), but sub-vreg regrouping
+    would force a Mosaic relayout."""
+    if h >= 8:
+        lo, hi, twh = _split_halves(x, h, tw)
+        s = _reduce(lo + hi, p, ip)
+        d = _mul_mod(lo - hi, twh, p, ip)
+        return _join_halves(s, d, x.shape)
     ax = x.ndim - 2
     up = pltpu.roll(x, _R - h, ax)   # up[q] = x[q+h]  (roll is non-negative)
     dn = pltpu.roll(x, h, ax)        # dn[q] = x[q-h]
@@ -157,6 +187,12 @@ def _dif_stage(x, h, tw, p, ip):
 
 def _dit_stage(x, h, tw, p, ip):
     """One inverse (DIT) stage along the sublane axis (-2)."""
+    if h >= 8:
+        lo, hi, twh = _split_halves(x, h, tw)
+        t = _mul_mod(hi, twh, p, ip)
+        s = _reduce(lo + t, p, ip)
+        d = _reduce(lo - t, p, ip)
+        return _join_halves(s, d, x.shape)
     ax = x.ndim - 2
     t = _mul_mod(x, _bshape(x, tw), p, ip)  # lo rows: tw == 1 -> t == x mod p
     up = pltpu.roll(t, _R - h, ax)          # t[q+h] at q
@@ -372,6 +408,7 @@ def _to_canonical_k(x, p):
 
 def _fold_kernel_factory(primes, T: int, C2: int, Lk: int, Lout: int,
                          digits: int, has_base: bool, sign: int,
+                         spectral_in: bool = False, dig_axis: int = 1,
                          base2k: int = 17):
     P = len(primes)
     assert P == 3, "fold kernel wired for 3 primes"
@@ -403,29 +440,37 @@ def _fold_kernel_factory(primes, T: int, C2: int, Lk: int, Lout: int,
 
         pp = [np.int32(q) for q in primes]
         ip = [np.float32(1.0 / q) for q in primes]
-        d_id = pl.program_id(1)
+        d_id = pl.program_id(dig_axis)
 
-        if digits == 1:
-            cur = x_ref[...]  # [TBF, T, R, R]
+        if spectral_in:
+            # x arrives already in the kernels' spectrum order (shared
+            # forward transform hoisted out, e.g. batched reads): skip
+            # the fwd NTT entirely
+            cur = None
+            specs = [x_ref[p] for p in range(P)]
         else:
-            # chained digits ride the sequential grid: step d's normalized
-            # output limbs persist in VMEM scratch as step d+1's input
-            @pl.when(d_id == 0)
-            def _():
-                carry_ref[...] = x_ref[...]
+            if digits == 1:
+                cur = x_ref[...]  # [TBF, T, R, R]
+            else:
+                # chained digits ride the sequential grid: step d's
+                # normalized output limbs persist in VMEM scratch as
+                # step d+1's input
+                @pl.when(d_id == 0)
+                def _():
+                    carry_ref[...] = x_ref[...]
 
-            cur = carry_ref[...]
+                cur = carry_ref[...]
 
-        # forward NTT of all T digit polys, per prime
-        specs = []
-        for p in range(P):
-            x = _mul_mod(cur, twist_ref[p][None, None], pp[p], ip[p])
-            for si in range(6):
-                x = _dif_stage(x, 32 >> si, twA_ref[p, si], pp[p], ip[p])
-            x = jnp.swapaxes(x, -1, -2)
-            for si in range(6):
-                x = _dif_stage(x, 32 >> si, twB_ref[p, si], pp[p], ip[p])
-            specs.append(x)
+            # forward NTT of all T digit polys, per prime
+            specs = []
+            for p in range(P):
+                x = _mul_mod(cur, twist_ref[p][None, None], pp[p], ip[p])
+                for si in range(6):
+                    x = _dif_stage(x, 32 >> si, twA_ref[p, si], pp[p], ip[p])
+                x = jnp.swapaxes(x, -1, -2)
+                for si in range(6):
+                    x = _dif_stage(x, 32 >> si, twB_ref[p, si], pp[p], ip[p])
+                specs.append(x)
 
         # VMP + inverse NTT + exact CRT fold, per output poly m
         acc = [[None] * Lout for _ in range(C2)]
@@ -506,7 +551,7 @@ def _fold_kernel_factory(primes, T: int, C2: int, Lk: int, Lout: int,
             carry = None
             for l in range(Lout - 1, -1, -1):
                 t = acc[c2i][l]
-                t = jnp.zeros_like(cur[:, 0]) if t is None else t
+                t = jnp.zeros_like(specs[0][:, 0]) if t is None else t
                 if sign < 0:
                     t = -t
                 if has_base:
@@ -536,11 +581,16 @@ def _fold_kernel_factory(primes, T: int, C2: int, Lk: int, Lout: int,
 
 def fused_external_fold_pallas(ctx: NTTPallasContext, x, keys_ntt,
                                out_limbs: int, c2: int, base=None,
-                               sign: int = 1, interpret: bool = False):
+                               sign: int = 1, x_is_ntt: bool = False,
+                               interpret: bool = False):
     """One-kernel external product / keyswitch INCLUDING the exact CRT
     fold and carry normalize.
 
-    x: int32[B, T, N] normalized gadget digits (coefficient domain).
+    x: int32[B, T, N] normalized gadget digits (coefficient domain), or
+      -- with x_is_ntt -- int32[P, B, T, N] already in this kernel
+      family's spectrum order (ntt_fwd_pallas output); the fwd NTT is
+      then skipped, which lets batched reads hoist ONE shared data
+      transform out of a whole address batch.
     keys_ntt: int32[P, digits, T, M, N] prepared key rows, M = c2*Lk,
       row-major over (c2, key limb); digits > 1 chains a whole CMux
       digit chain in VMEM (requires T == c2*out_limbs).
@@ -548,24 +598,38 @@ def fused_external_fold_pallas(ctx: NTTPallasContext, x, keys_ntt,
       the in-kernel normalize: out = normalize(base + sign*conv_limbs).
     Returns int32[B, c2, out_limbs, N] normalized."""
     n = ctx.n
-    B, T, n_ = x.shape
     P, digits, T2, M, n3 = keys_ntt.shape
+    if x_is_ntt:
+        assert digits == 1, "spectral input is single-digit only"
+        P_, B, T, n_ = x.shape
+        assert P_ == P
+    else:
+        B, T, n_ = x.shape
     assert n_ == n and n3 == n and T2 == T and M % c2 == 0
     Lk = M // c2
     if digits > 1:
         assert T == c2 * out_limbs, "chained digits need T == C2*Lout"
         assert base is None, "base fusion is single-digit only"
-    x = x.reshape(B, T, _R, _R)
     Bp = -(-B // _TBF) * _TBF
-    if Bp != B:
-        x = jnp.concatenate(
-            [x, jnp.zeros((Bp - B, T, _R, _R), dtype=x.dtype)], axis=0)
+    if x_is_ntt:
+        x = x.reshape(P, B, T, _R, _R)
+        if Bp != B:
+            x = jnp.concatenate(
+                [x, jnp.zeros((P, Bp - B, T, _R, _R), dtype=x.dtype)], axis=1)
+        x_spec = pl.BlockSpec((P, _TBF, T, _R, _R),
+                              lambda b, d: (0, b, 0, 0, 0))
+    else:
+        x = x.reshape(B, T, _R, _R)
+        if Bp != B:
+            x = jnp.concatenate(
+                [x, jnp.zeros((Bp - B, T, _R, _R), dtype=x.dtype)], axis=0)
+        x_spec = pl.BlockSpec((_TBF, T, _R, _R), lambda b, d: (b, 0, 0, 0))
     k6 = keys_ntt.reshape(P, digits, T, M, _R, _R)
 
     has_base = base is not None
     inputs = [x, k6]
     in_specs = [
-        pl.BlockSpec((_TBF, T, _R, _R), lambda b, d: (b, 0, 0, 0)),
+        x_spec,
         # one digit's keys per grid step: the whole chain resident (plus
         # double buffering) blows the 16 MB scoped-VMEM limit
         pl.BlockSpec((P, 1, T, M, _R, _R),
@@ -593,7 +657,7 @@ def fused_external_fold_pallas(ctx: NTTPallasContext, x, keys_ntt,
 
     out = pl.pallas_call(
         _fold_kernel_factory(ctx.primes, T, c2, Lk, out_limbs, digits,
-                             has_base, sign),
+                             has_base, sign, spectral_in=x_is_ntt),
         grid=(Bp // _TBF, digits),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((_TBF, c2 * out_limbs, _R, _R),
@@ -603,3 +667,53 @@ def fused_external_fold_pallas(ctx: NTTPallasContext, x, keys_ntt,
         interpret=interpret,
     )(*inputs)
     return out[:B].reshape(B, c2, out_limbs, n)
+
+
+def fused_external_fold_batched(ctx: NTTPallasContext, x, keys_ntt,
+                                out_limbs: int, c2: int,
+                                interpret: bool = False):
+    """fused_external_fold_pallas with PER-ITEM keys: item a of the
+    leading batch axis is processed against keys_ntt[a] (an address
+    batch's per-address CMux chains in ONE kernel launch -- B separate
+    calls would serialize on dispatch overhead).
+
+    x: int32[A, B, T, N]; keys_ntt: int32[A, P, digits, T, M, N].
+    Returns int32[A, B, c2, out_limbs, N] normalized."""
+    n = ctx.n
+    A, B, T, n_ = x.shape
+    A2, P, digits, T2, M, n3 = keys_ntt.shape
+    assert A2 == A and n_ == n and n3 == n and T2 == T and M % c2 == 0
+    Lk = M // c2
+    if digits > 1:
+        assert T == c2 * out_limbs, "chained digits need T == C2*Lout"
+    x = x.reshape(A, B, T, _R, _R)
+    Bp = -(-B // _TBF) * _TBF
+    if Bp != B:
+        x = jnp.concatenate(
+            [x, jnp.zeros((A, Bp - B, T, _R, _R), dtype=x.dtype)], axis=1)
+    k7 = keys_ntt.reshape(A, P, digits, T, M, _R, _R)
+
+    Mo = c2 * out_limbs
+    out = pl.pallas_call(
+        _fold_kernel_factory(ctx.primes, T, c2, Lk, out_limbs, digits,
+                             has_base=False, sign=1, dig_axis=2),
+        grid=(A, Bp // _TBF, digits),
+        in_specs=[
+            pl.BlockSpec((None, _TBF, T, _R, _R),
+                         lambda a, b, d: (a, b, 0, 0, 0)),
+            pl.BlockSpec((None, P, 1, T, M, _R, _R),
+                         lambda a, b, d: (a, 0, d, 0, 0, 0, 0)),
+            pl.BlockSpec((P, _R, _R), lambda a, b, d: (0, 0, 0)),
+            pl.BlockSpec((P, 6, _R, _R), lambda a, b, d: (0, 0, 0, 0)),
+            pl.BlockSpec((P, 6, _R, _R), lambda a, b, d: (0, 0, 0, 0)),
+            pl.BlockSpec((P, _R, _R), lambda a, b, d: (0, 0, 0)),
+            pl.BlockSpec((P, 6, _R, _R), lambda a, b, d: (0, 0, 0, 0)),
+            pl.BlockSpec((P, 6, _R, _R), lambda a, b, d: (0, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((None, _TBF, Mo, _R, _R),
+                               lambda a, b, d: (a, b, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((A, Bp, Mo, _R, _R), I32),
+        scratch_shapes=[pltpu.VMEM((_TBF, T, _R, _R), I32)],
+        interpret=interpret,
+    )(x, k7, ctx.twist, ctx.twA, ctx.twB, ctx.inv_twist, ctx.twAi, ctx.twBi)
+    return out[:, :B].reshape(A, B, c2, out_limbs, n)

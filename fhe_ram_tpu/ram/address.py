@@ -138,3 +138,82 @@ def coordinate_product(params: Params, ctx: NTTContext, ct, coord_prep):
     for i in range(dig):
         ct = ggsw.external_product(params, ctx, ct, coord_prep[:, i])
     return ct
+
+
+def coordinate_product_batched(params: Params, ctx: NTTContext, ct,
+                               coords_prep_b):
+    """coordinate_product of ONE shared ct against a BATCH of prepared
+    coordinates (leading axis B).  Returns [B, ...ct.shape].
+
+    The address-independent work -- the forward transform of the shared
+    ct's gadget digits -- is hoisted out of the batch on the pallas
+    backend: ONE ntt_fwd over all rows, then per-address digit-0 runs
+    the spectral-input fold kernel and the remaining digits the regular
+    chained kernel.  (The reference has no batched read; this is the
+    BASELINE config-3 path.)"""
+    from ..ops import ntt as ntt_mod
+
+    dig = coords_prep_b.shape[2]
+    n = params.n
+    _B, P, _, D, C, C2, Lg, _n = coords_prep_b.shape
+    L = ct.shape[-2]
+    if (ntt_mod.get_backend() == "pallas" and n == 4096 and C2 == C
+            and D == L):
+        from ..ops.ntt_pallas import (
+            get_pallas_context, fused_external_fold_pallas, ntt_fwd_pallas)
+
+        pctx = get_pallas_context(n, ctx.primes)
+        lead_shape = ct.shape[:-3]
+        x = ct.reshape((-1, C * D, n))
+        xn = ntt_fwd_pallas(pctx, x)  # [P, rows, T, N], shared across B
+
+        def per_addr(coord_prep):
+            keys = jnp.transpose(coord_prep, (0, 1, 3, 2, 4, 5, 6)).reshape(
+                P, dig, C * D, C2 * Lg, n)
+            y = fused_external_fold_pallas(
+                pctx, xn, keys[:, :1], L, C2, x_is_ntt=True
+            ).reshape((-1, C2 * L, n))
+            for s0 in range(1, dig, _CHAIN_MAX):
+                y = fused_external_fold_pallas(
+                    pctx, y, keys[:, s0 : s0 + _CHAIN_MAX], L, C2
+                ).reshape((-1, C2 * L, n))
+            return y.reshape(lead_shape + (C2, L, n))
+
+        return jax.lax.map(per_addr, coords_prep_b)
+
+    return jax.lax.map(
+        lambda c: coordinate_product(params, ctx, ct, c), coords_prep_b)
+
+
+def coordinate_product_perbatch(params: Params, ctx: NTTContext, ct_b,
+                                coords_prep_b):
+    """Per-item coordinate products: ct_b[a] x coords_prep_b[a] for every
+    a of the leading batch axis, in ONE kernel launch on the pallas
+    backend (per-address kernel calls would serialize on dispatch).
+
+    ct_b: int32[A, ..., C, L, N]; coords_prep_b: int32[A, P, dig, ...].
+    Returns int32[A, ..., C2, L, N]."""
+    from ..ops import ntt as ntt_mod
+
+    dig = coords_prep_b.shape[2]
+    n = params.n
+    A, P, _, D, C, C2, Lg, _n = coords_prep_b.shape
+    L = ct_b.shape[-2]
+    if (ntt_mod.get_backend() == "pallas" and n == 4096 and C2 == C
+            and D == L):
+        from ..ops.ntt_pallas import get_pallas_context, fused_external_fold_batched
+
+        pctx = get_pallas_context(n, ctx.primes)
+        lead_shape = ct_b.shape[1:-3]
+        x = ct_b.reshape((A, -1, C * D, n))
+        keys = jnp.transpose(coords_prep_b, (0, 1, 2, 4, 3, 5, 6, 7)).reshape(
+            A, P, dig, C * D, C2 * Lg, n)
+        for s0 in range(0, dig, _CHAIN_MAX):
+            x = fused_external_fold_batched(
+                pctx, x, keys[:, :, s0 : s0 + _CHAIN_MAX], L, C2
+            ).reshape((A, -1, C2 * L, n))
+        return x.reshape((A,) + lead_shape + (C2, L, n))
+
+    return jax.lax.map(
+        lambda args: coordinate_product(params, ctx, args[0], args[1]),
+        (ct_b, coords_prep_b))

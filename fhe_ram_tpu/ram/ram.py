@@ -145,6 +145,38 @@ def read_impl(params: Params, ctx: NTTContext, data, coords, atk):
     return keyswitch.trace(params, ctx, cur, atk)  # [W, C, L, N]
 
 
+def read_batch_impl(params: Params, ctx: NTTContext, data, coords_b, atk):
+    """Batched encrypted read at B addresses (BASELINE config 3; the
+    reference has no batched path).  coords_b: tuple of stacked prepared
+    coordinates, leading axis B.
+
+    Amortizes address-independent work instead of vmapping read_impl
+    (round-1 finding: plain vmap REGRESSES -- transient blowup):
+      * the level-0 forward NTT of the RAM's gadget digits runs ONCE
+        per batch (shared spectral input to the fold kernel);
+      * upper-level CMux chains run with per-address keys in one
+        batch-gridded kernel launch instead of B separate dispatches;
+      * pack and trace run with the batch folded into the row axis
+        (B*W rows per kernel call instead of W)."""
+    n2 = len(coords_b)
+    B = coords_b[0].shape[0]
+    W = data.shape[0]
+    # [B, W, R, C, L, N]
+    cur = address_mod.coordinate_product_batched(params, ctx, data,
+                                                 coords_b[0])
+    for i in range(1, n2):
+        flat = cur.reshape((B * W,) + cur.shape[2:])
+        flat = _pack_rows(params, ctx, flat, atk)
+        cur = flat.reshape((B, W) + flat.shape[1:])
+        if i == n2 - 1:
+            cur = cur[:, :, 0]  # [B, W, C, L, N]
+        cur = address_mod.coordinate_product_perbatch(params, ctx, cur,
+                                                      coords_b[i])
+    out = keyswitch.trace(params, ctx,
+                          cur.reshape((B * W,) + cur.shape[2:]), atk)
+    return out.reshape((B, W) + out.shape[1:])
+
+
 def rpw_impl(params: Params, ctx: NTTContext, data, coords, atk):
     """read_prepare_write (reference src/ram.rs:461-542): identical output
     to read, but persists every rotated level for the coming write."""
@@ -272,10 +304,9 @@ class FheRam:
         # large geometries (2^24: 1.6 GB) the copy would double HBM use
         self._rpw = jax.jit(partial(rpw_impl, p, c), donate_argnums=(0,))
         self._write = jax.jit(partial(write_impl, p, c), donate_argnums=(0, 1))
-        # batched reads: vmap over a leading address axis (keys/data shared)
-        self._read_batch = jax.jit(
-            jax.vmap(partial(read_impl, p, c), in_axes=(None, 0, None))
-        )
+        # batched reads: shared-NTT + batch-gridded kernels (NOT vmap:
+        # round 1 measured vmap(4) slower than 4 sequential reads)
+        self._read_batch = jax.jit(partial(read_batch_impl, p, c))
 
     def init_state(self, data) -> RamState:
         """Wrap freshly encrypted RAM data (ram.encrypt_ram output)."""

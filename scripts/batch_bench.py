@@ -37,10 +37,12 @@ def main():
     # the pallas NTT backend cannot lower on CPU, and client-side
     # transforms must share the server's spectrum order -> run client
     # ops on the TPU when it is selected
-    client_dev = (jax.default_device(cpu)
-                  if os.environ.get("FHERAM_NTT") != "pallas"
-                  else contextlib.nullcontext())
-    with client_dev:
+    def client_ctx():
+        if os.environ.get("FHERAM_NTT") != "pallas":
+            return jax.default_device(cpu)
+        return contextlib.nullcontext()
+
+    with client_ctx():
         ctx = get_ntt_context(par.n, par.primes)
         src = rng.Source(0)
         sk = rng.ternary_secret(src.split(), par.rank, par.n, par.xs_density)
@@ -64,27 +66,34 @@ def main():
     atk_dev = jax.device_put(ekp.atk_glwe, tpu)
     coords_dev = jax.device_put(coords, tpu)
 
-    fn = jax.jit(jax.vmap(partial(ram_mod.read_impl, par, ctx),
-                          in_axes=(None, 0, None)))
+    fn = jax.jit(partial(ram_mod.read_batch_impl, par, ctx))
+    # timing fetches ONE scalar (the full [B, W, C, L, N] output is
+    # ~25 MB -- fetching it over the axon tunnel would dominate)
+    fn_scalar = jax.jit(
+        lambda d, c, a: jnp.sum(ram_mod.read_batch_impl(par, ctx, d, c, a)
+                                [:, :, :, 0, 0]))
 
     t0 = time.time()
     out = np.asarray(fn(ram_dev, coords_dev, atk_dev))
     print(f"compile+first: {time.time()-t0:.0f}s out={out.shape}", flush=True)
+    t0 = time.time()
+    np.asarray(fn_scalar(ram_dev, coords_dev, atk_dev))
+    print(f"scalar compile+first: {time.time()-t0:.0f}s", flush=True)
     ts = []
     for _ in range(3):
         t0 = time.perf_counter()
-        out = np.asarray(fn(ram_dev, coords_dev, atk_dev))
+        np.asarray(fn_scalar(ram_dev, coords_dev, atk_dev))
         ts.append(time.perf_counter() - t0)
     t = min(ts)
     print(f"batch={args.batch}: {t*1000:.0f} ms total, "
           f"{t/args.batch*1000:.2f} ms/read, {args.batch/t:.1f} reads/s", flush=True)
 
-    # correctness spot-check
-    with jax.default_device(cpu):
+    # correctness spot-check (decode shares the server backend/device)
+    with client_ctx():
         for b in (0, args.batch - 1):
             i = 0
             want = glwe.cast_u8_signed(int(data[idxs[b] * par.word_size + i]), par.k_pt)
-            ph = glwe.phase(par, ctx, s_ntt, jax.device_put(out[b, i], cpu))
+            ph = glwe.phase(par, ctx, s_ntt, jnp.asarray(out[b, i]))
             val, noise = glwe.decode_coeff0(par, np.asarray(ph), want)
             assert int(val) == want, (b, val, want)
         print("batch reads CORRECT", flush=True)

@@ -153,3 +153,21 @@ def test_fused_fold_chain_matches_sequential():
     chained = fused_external_fold_pallas(PCTX, x, keys_ntt, Lout, C2,
                                          interpret=True)
     assert np.array_equal(np.asarray(chained), np.asarray(s2))
+
+    # spectral-input variant (shared fwd NTT hoisted out, batched reads)
+    xn = ntt_fwd_pallas(PCTX, x, interpret=True)  # [P, B, T, N]
+    spec = fused_external_fold_pallas(PCTX, xn, keys_ntt[:, :1], Lout, C2,
+                                      x_is_ntt=True, interpret=True)
+    assert np.array_equal(np.asarray(spec), np.asarray(s1))
+
+    # per-item-keys batched variant: item a uses keys_ntt digit a
+    from fhe_ram_tpu.ops.ntt_pallas import fused_external_fold_batched
+
+    xb = jnp.stack([x, x + 1], axis=0)  # [A=2, B, T, N]
+    kb = jnp.stack([keys_ntt[:, :1], keys_ntt[:, 1:]], axis=0)
+    got = fused_external_fold_batched(PCTX, xb, kb, Lout, C2, interpret=True)
+    want0 = s1
+    want1 = fused_external_fold_pallas(PCTX, x + 1, keys_ntt[:, 1:], Lout, C2,
+                                       interpret=True)
+    assert np.array_equal(np.asarray(got[0]), np.asarray(want0))
+    assert np.array_equal(np.asarray(got[1]), np.asarray(want1))
