@@ -23,6 +23,7 @@ int32 + float32-Barrett of ops/modular.py.
 
 from __future__ import annotations
 
+import os
 from functools import lru_cache
 
 import numpy as np
@@ -36,9 +37,14 @@ from .crt import garner_consts
 
 I32 = jnp.int32
 F32 = jnp.float32
+I8 = jnp.int8
 
 _TB = 32  # batch rows per grid step (VMEM-bounded)
 _R = 64
+
+# NTT phases as exact int8 MXU matmuls (see "MXU phase matmuls" below);
+# FHERAM_MXU=0 falls back to the VPU roll/select stage pipeline
+_USE_MXU = os.environ.get("FHERAM_MXU", "1") == "1"
 
 
 def _mul_mod(a, b, p, ip):
@@ -142,6 +148,180 @@ def get_pallas_context(n: int, primes: tuple[int, ...]) -> NTTPallasContext:
     return NTTPallasContext(n, primes)
 
 
+# --------------------------------------------------------------------------
+# MXU phase matmuls
+# --------------------------------------------------------------------------
+#
+# Each phase of the two-phase tile NTT is a linear map over Z_p that
+# factors into at most one elementwise twiddle and ONE 64x64 left-matmul
+# (verified numerically for all four phases and all primes):
+#
+#     fwd A : Y = E_A o (M_A @ X)        fwd B : Y = M_B @ X
+#     inv Bi: Y = M_Bi @ X               inv Ai: Y = M_Ai @ (F_Ai o X)
+#
+# The matmuls run EXACTLY on the MXU in int8: operands split into three
+# balanced 7-bit digits (|d| <= 64 -- matrix entries; <= 119 for the
+# |x| <= 2^20.9 data side), products <= 2^13.8, 64-term dot sums
+# <= 2^19.8, accumulated exactly in int32.  Recombination is 4 mul_mods
+# per element on the VPU.  Measured 2.3x faster than the stage pipeline
+# at the level-0 shape (scripts/mxu_ntt_probe.py), bit-exact, and the
+# spectrum order is IDENTICAL, so prepared keys are unaffected.
+
+def _dif_np(x, h, tw, p):
+    """Vectorized numpy replica of _dif_stage (x: [..., 64, 64] mod p)."""
+    up = np.roll(x, -h, -2)
+    dn = np.roll(x, h, -2)
+    lo = (np.arange(_R).reshape(-1, 1) & h) == 0
+    return np.where(lo, (x + up) % p, ((dn - x) * tw) % p)
+
+
+def _dit_np(x, h, tw, p):
+    t = (x * tw) % p
+    up = np.roll(t, -h, -2)
+    dn = np.roll(x, h, -2)
+    lo = (np.arange(_R).reshape(-1, 1) & h) == 0
+    return np.where(lo, (x + up) % p, (dn - t) % p)
+
+
+def _digit_planes_i8(M, p):
+    """Balanced 7-bit digit planes of centered M: int8[3, 64, 64]."""
+    Mc = _center(M % p, p).astype(np.int64)
+    d2 = np.rint(Mc / 2.0 ** 14).astype(np.int64)
+    r = Mc - (d2 << 14)
+    d1 = np.rint(r / 2.0 ** 7).astype(np.int64)
+    d0 = r - (d1 << 7)
+    assert max(np.abs(d2).max(), np.abs(d1).max(), np.abs(d0).max()) <= 64
+    return np.stack([d0, d1, d2]).astype(np.int8)
+
+
+def _derive_mxu_tables(ctx: NTTPallasContext):
+    """[P, 4, 3, 64, 64] int8 matrix digit planes (A, B, Bi, Ai) and
+    [P, 2, 64, 64] int32 centered elementwise maps (E_A, F_Ai)."""
+    P = len(ctx.primes)
+    mdig = np.zeros((P, 4, 3, _R, _R), dtype=np.int8)
+    ew = np.zeros((P, 2, _R, _R), dtype=np.int32)
+    basis = np.zeros((_R, _R, _R), dtype=np.int64)
+    for q in range(_R):
+        basis[q, q, :] = 1
+    for pi, p in enumerate(ctx.primes):
+        twA = ctx.twA[pi].astype(np.int64) % p
+        twB = ctx.twB[pi].astype(np.int64) % p
+        twAi = ctx.twAi[pi].astype(np.int64) % p
+        twBi = ctx.twBi[pi].astype(np.int64) % p
+
+        def phase(x, tws, inv):
+            for s in range(6):
+                x = (_dit_np(x, 1 << s, tws[5 - s], p) if inv
+                     else _dif_np(x, 32 >> s, tws[s], p))
+            return x
+
+        def colmaps(tws, inv):
+            # A[i, q, j] = A_j[i, q]: basis row q broadcast over lanes
+            return np.moveaxis(phase(basis, tws, inv), 0, 1)
+
+        AA, AB = colmaps(twA, False), colmaps(twB, False)
+        ABi, AAi = colmaps(twBi, True), colmaps(twAi, True)
+
+        MA = AA[:, :, 0] % p
+        EA = np.zeros((_R, _R), dtype=np.int64)
+        for j in range(_R):
+            for i in range(_R):
+                q0 = np.nonzero(MA[i])[0][0]
+                EA[i, j] = (AA[i, q0, j] * pow(int(MA[i, q0]), p - 2, p)) % p
+        MAi = AAi[:, :, 0] % p
+        FAi = np.zeros((_R, _R), dtype=np.int64)
+        for j in range(_R):
+            for q in range(_R):
+                i0 = np.nonzero(MAi[:, q])[0][0]
+                FAi[q, j] = (AAi[i0, q, j] * pow(int(MAi[i0, q]), p - 2, p)) % p
+
+        # exactness guard: the factorization must reproduce the phases
+        rnd = np.random.default_rng(1)
+        X = rnd.integers(0, p, size=(_R, _R))
+        assert np.array_equal(phase(X, twA, False) % p,
+                              (EA * (MA @ X % p)) % p)
+        assert np.array_equal(phase(X, twB, False) % p, AB[:, :, 0] @ X % p)
+        assert np.array_equal(phase(X, twBi, True) % p, ABi[:, :, 0] @ X % p)
+        assert np.array_equal(phase(X, twAi, True) % p, MAi @ ((FAi * X) % p) % p)
+
+        mdig[pi, 0] = _digit_planes_i8(MA, p)
+        mdig[pi, 1] = _digit_planes_i8(AB[:, :, 0] % p, p)
+        mdig[pi, 2] = _digit_planes_i8(ABi[:, :, 0] % p, p)
+        mdig[pi, 3] = _digit_planes_i8(MAi, p)
+        ew[pi, 0] = _center(EA, p).astype(np.int32)
+        ew[pi, 1] = _center(FAi, p).astype(np.int32)
+    return mdig, ew
+
+
+def _mxu_tables(ctx: NTTPallasContext):
+    if not hasattr(ctx, "_mxu"):
+        ctx._mxu = _derive_mxu_tables(ctx)
+    return ctx._mxu
+
+
+def _split3_i8(x):
+    """int32 (|x| <= 2^20.9) -> three balanced 7-bit digit planes."""
+    d2 = (x + (1 << 13)) >> 14
+    r = x - (d2 << 14)
+    d1 = (r + (1 << 6)) >> 7
+    d0 = r - (d1 << 7)
+    return (d0.astype(I8), d1.astype(I8), d2.astype(I8))
+
+
+def _mm_mod(x, mdig, p, ip):
+    """Exact (M @ x) mod p on the MXU.  x: int32[..., 64, 64] with
+    |x| <= 2^20.9; mdig: int8[3, 64, 64] digit planes of M."""
+    lead = x.shape[:-2]
+    x = x.reshape((-1, _R, _R))
+    B = x.shape[0]
+    xd = _split3_i8(x)
+    S = [None] * 5  # weight classes w = i + j, weights 2^(7w)
+    for i in range(3):
+        mb = jnp.broadcast_to(mdig[i], (B, _R, _R))
+        for j in range(3):
+            pr = jax.lax.dot_general(
+                mb, xd[j], (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=I32)
+            w = i + j
+            S[w] = pr if S[w] is None else S[w] + pr
+    y = S[0] + _mul_mod(S[1], np.int32(1 << 7), p, ip)
+    y = y + _mul_mod(S[2], _cent_const(1 << 14, p), p, ip)
+    y = y + _mul_mod(S[3], _cent_const(1 << 21, p), p, ip)
+    y = y + _mul_mod(S[4], _cent_const(1 << 28, p), p, ip)
+    return _reduce(y, p, ip).reshape(lead + (_R, _R))
+
+
+def _cent_const(v, p):
+    """2^k mod p, centered.  p may be a static int (fold kernel: primes
+    baked into the factory) or a traced scalar (standalone kernels:
+    prime indexed by program_id from SMEM)."""
+    if isinstance(p, (int, np.integer)):
+        v = int(v) % int(p)
+        return np.int32(v - p if v > p // 2 else v)
+    vv = jnp.mod(jnp.int32(v), p)
+    return vv - jnp.where(vv > p // 2, p, jnp.int32(0))
+
+
+def _fwd_tile_mxu(x, twist, mdig_p, ew_p, p, ip):
+    """Forward tile NTT via MXU: twist -> E_A o (M_A @) -> swap -> M_B @.
+    Bit-exact, same spectrum order as the stage pipeline."""
+    x = _mul_mod(x, _bshape(x, twist), p, ip)
+    y = _mm_mod(x, mdig_p[0], p, ip)
+    y = _mul_mod(y, _bshape(y, ew_p[0]), p, ip)
+    y = jnp.swapaxes(y, -1, -2)
+    return _mm_mod(y, mdig_p[1], p, ip)
+
+
+def _inv_tile_mxu(y, itwist, mdig_p, ew_p, p, ip):
+    """Inverse tile NTT via MXU: M_Bi @ -> swap -> M_Ai @ (F_Ai o) ->
+    itwist."""
+    y = _mm_mod(y, mdig_p[2], p, ip)
+    y = jnp.swapaxes(y, -1, -2)
+    y = _mul_mod(y, _bshape(y, ew_p[1]), p, ip)
+    y = _mm_mod(y, mdig_p[3], p, ip)
+    return _mul_mod(y, _bshape(y, itwist), p, ip)
+
+
 def _bshape(x, arr):
     """Broadcast a [64, 64]/[64, 1] table over x's leading dims."""
     return arr.reshape((1,) * (x.ndim - 2) + arr.shape)
@@ -228,6 +408,18 @@ def _inv_kernel(p_ref, ip_ref, x_ref, itwist_ref, twAi_ref, twBi_ref, o_ref):
     o_ref[...] = _mul_mod(x, itwist_ref[0][None], p, ip)[None]
 
 
+def _fwd_kernel_mxu(p_ref, ip_ref, x_ref, twist_ref, mdig_ref, ew_ref, o_ref):
+    pid = pl.program_id(0)
+    o_ref[...] = _fwd_tile_mxu(x_ref[...], twist_ref[0], mdig_ref[0],
+                               ew_ref[0], p_ref[pid, 0], ip_ref[pid, 0])[None]
+
+
+def _inv_kernel_mxu(p_ref, ip_ref, x_ref, itwist_ref, mdig_ref, ew_ref, o_ref):
+    pid = pl.program_id(0)
+    o_ref[...] = _inv_tile_mxu(x_ref[0], itwist_ref[0], mdig_ref[0],
+                               ew_ref[0], p_ref[pid, 0], ip_ref[pid, 0])[None]
+
+
 def ntt_fwd_pallas(ctx: NTTPallasContext, x, interpret: bool = False):
     """x: int32[..., N] (|x| <= 2^21) -> int32[P, ..., N]."""
     n = ctx.n
@@ -239,21 +431,35 @@ def ntt_fwd_pallas(ctx: NTTPallasContext, x, interpret: bool = False):
         x = jnp.concatenate(
             [x, jnp.zeros((Bp - B, _R, _R), dtype=x.dtype)], axis=0)
     P = len(ctx.primes)
+    base_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((_TB, _R, _R), lambda p, b: (b, 0, 0)),
+        pl.BlockSpec((1, _R, _R), lambda p, b: (p, 0, 0)),
+    ]
+    if _USE_MXU:
+        mdig, ew = _mxu_tables(ctx)
+        kern = _fwd_kernel_mxu
+        specs = base_specs + [
+            pl.BlockSpec((1, 4, 3, _R, _R), lambda p, b: (p, 0, 0, 0, 0)),
+            pl.BlockSpec((1, 2, _R, _R), lambda p, b: (p, 0, 0, 0)),
+        ]
+        tables = (ctx.twist, mdig, ew)
+    else:
+        kern = _fwd_kernel
+        specs = base_specs + [
+            pl.BlockSpec((1, 6, _R, _R), lambda p, b: (p, 0, 0, 0)),
+            pl.BlockSpec((1, 6, _R, _R), lambda p, b: (p, 0, 0, 0)),
+        ]
+        tables = (ctx.twist, ctx.twA, ctx.twB)
     out = pl.pallas_call(
-        _fwd_kernel,
+        kern,
         grid=(P, Bp // _TB),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((_TB, _R, _R), lambda p, b: (b, 0, 0)),
-            pl.BlockSpec((1, _R, _R), lambda p, b: (p, 0, 0)),
-            pl.BlockSpec((1, 6, _R, _R), lambda p, b: (p, 0, 0, 0)),
-            pl.BlockSpec((1, 6, _R, _R), lambda p, b: (p, 0, 0, 0)),
-        ],
+        in_specs=specs,
         out_specs=pl.BlockSpec((1, _TB, _R, _R), lambda p, b: (p, b, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((P, Bp, _R, _R), I32),
         interpret=interpret,
-    )(ctx.p_arr, ctx.ip_arr, x, ctx.twist, ctx.twA, ctx.twB)
+    )(ctx.p_arr, ctx.ip_arr, x, *tables)
     return out[:, :B].reshape((P,) + lead + (n,))
 
 
@@ -268,21 +474,35 @@ def ntt_inv_pallas(ctx: NTTPallasContext, x, interpret: bool = False):
     if Bp != B:
         x = jnp.concatenate(
             [x, jnp.zeros((P, Bp - B, _R, _R), dtype=x.dtype)], axis=1)
+    base_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, _TB, _R, _R), lambda p, b: (p, b, 0, 0)),
+        pl.BlockSpec((1, _R, _R), lambda p, b: (p, 0, 0)),
+    ]
+    if _USE_MXU:
+        mdig, ew = _mxu_tables(ctx)
+        kern = _inv_kernel_mxu
+        specs = base_specs + [
+            pl.BlockSpec((1, 4, 3, _R, _R), lambda p, b: (p, 0, 0, 0, 0)),
+            pl.BlockSpec((1, 2, _R, _R), lambda p, b: (p, 0, 0, 0)),
+        ]
+        tables = (ctx.inv_twist, mdig, ew)
+    else:
+        kern = _inv_kernel
+        specs = base_specs + [
+            pl.BlockSpec((1, 6, _R, _R), lambda p, b: (p, 0, 0, 0)),
+            pl.BlockSpec((1, 6, _R, _R), lambda p, b: (p, 0, 0, 0)),
+        ]
+        tables = (ctx.inv_twist, ctx.twAi, ctx.twBi)
     out = pl.pallas_call(
-        _inv_kernel,
+        kern,
         grid=(P, Bp // _TB),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, _TB, _R, _R), lambda p, b: (p, b, 0, 0)),
-            pl.BlockSpec((1, _R, _R), lambda p, b: (p, 0, 0)),
-            pl.BlockSpec((1, 6, _R, _R), lambda p, b: (p, 0, 0, 0)),
-            pl.BlockSpec((1, 6, _R, _R), lambda p, b: (p, 0, 0, 0)),
-        ],
+        in_specs=specs,
         out_specs=pl.BlockSpec((1, _TB, _R, _R), lambda p, b: (p, b, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((P, Bp, _R, _R), I32),
         interpret=interpret,
-    )(ctx.p_arr, ctx.ip_arr, x, ctx.inv_twist, ctx.twAi, ctx.twBi)
+    )(ctx.p_arr, ctx.ip_arr, x, *tables)
     return out[:, :B].reshape((P,) + lead + (n,))
 
 
@@ -397,7 +617,9 @@ def fused_external_pallas(ctx: NTTPallasContext, x, keys_ntt,
 # (a whole 4-digit key block plus double buffering was a 19.5 MB scoped
 # VMEM allocation -- over the 16 MB limit).
 
-_TBF = 2  # ct rows per grid step (v2 kernel; 4 exceeds scoped VMEM)
+_TBF = 2  # ct rows per grid step (v2 kernel; 4 exceeds scoped VMEM on
+# both paths -- the MXU path's tables are smaller but its batched
+# inverse transform keeps all M spectral tiles live)
 
 
 def _to_canonical_k(x, p):
@@ -431,12 +653,20 @@ def _fold_kernel_factory(primes, T: int, C2: int, Lk: int, Lout: int,
     maskb = (1 << base2k) - 1
 
     def kernel(*refs):
-        if has_base:
-            (x_ref, k_ref, base_ref, twist_ref, twA_ref, twB_ref,
-             itwist_ref, twAi_ref, twBi_ref, o_ref, carry_ref) = refs
+        if _USE_MXU:
+            if has_base:
+                (x_ref, k_ref, base_ref, twist_ref, itwist_ref,
+                 mdig_ref, ew_ref, o_ref, carry_ref) = refs
+            else:
+                (x_ref, k_ref, twist_ref, itwist_ref,
+                 mdig_ref, ew_ref, o_ref, carry_ref) = refs
         else:
-            (x_ref, k_ref, twist_ref, twA_ref, twB_ref,
-             itwist_ref, twAi_ref, twBi_ref, o_ref, carry_ref) = refs
+            if has_base:
+                (x_ref, k_ref, base_ref, twist_ref, twA_ref, twB_ref,
+                 itwist_ref, twAi_ref, twBi_ref, o_ref, carry_ref) = refs
+            else:
+                (x_ref, k_ref, twist_ref, twA_ref, twB_ref,
+                 itwist_ref, twAi_ref, twBi_ref, o_ref, carry_ref) = refs
 
         pp = [np.int32(q) for q in primes]
         ip = [np.float32(1.0 / q) for q in primes]
@@ -464,6 +694,11 @@ def _fold_kernel_factory(primes, T: int, C2: int, Lk: int, Lout: int,
             # forward NTT of all T digit polys, per prime
             specs = []
             for p in range(P):
+                if _USE_MXU:
+                    specs.append(_fwd_tile_mxu(cur, twist_ref[p],
+                                               mdig_ref[p], ew_ref[p],
+                                               pp[p], ip[p]))
+                    continue
                 x = _mul_mod(cur, twist_ref[p][None, None], pp[p], ip[p])
                 for si in range(6):
                     x = _dif_stage(x, 32 >> si, twA_ref[p, si], pp[p], ip[p])
@@ -472,23 +707,36 @@ def _fold_kernel_factory(primes, T: int, C2: int, Lk: int, Lout: int,
                     x = _dif_stage(x, 32 >> si, twB_ref[p, si], pp[p], ip[p])
                 specs.append(x)
 
-        # VMP + inverse NTT + exact CRT fold, per output poly m
-        acc = [[None] * Lout for _ in range(C2)]
-        for m in range(M):
-            rs = []
-            for p in range(P):
+        # VMP (all output polys), then ONE batched inverse NTT per prime:
+        # per-m inverse transforms would run the MXU at batch TBF --
+        # latency-bound for small kernels (trace steps measured 2.5x
+        # slower that way)
+        rsb = []  # per prime: [TBF, M, R, R]
+        for p in range(P):
+            vs = []
+            for m in range(M):
                 s = None
                 for t in range(T):
                     term = _mul_mod(specs[p][:, t], k_ref[p, 0, t, m][None],
                                     pp[p], ip[p])
                     s = term if s is None else s + term
-                y = _reduce(s, pp[p], ip[p])
-                for si in range(6):
-                    y = _dit_stage(y, 1 << si, twBi_ref[p, 5 - si], pp[p], ip[p])
-                y = jnp.swapaxes(y, -1, -2)
-                for si in range(6):
-                    y = _dit_stage(y, 1 << si, twAi_ref[p, 5 - si], pp[p], ip[p])
-                rs.append(_mul_mod(y, itwist_ref[p][None], pp[p], ip[p]))
+                vs.append(_reduce(s, pp[p], ip[p]))
+            y = jnp.stack(vs, axis=1)
+            if _USE_MXU:
+                rsb.append(_inv_tile_mxu(y, itwist_ref[p], mdig_ref[p],
+                                         ew_ref[p], pp[p], ip[p]))
+                continue
+            for si in range(6):
+                y = _dit_stage(y, 1 << si, twBi_ref[p, 5 - si], pp[p], ip[p])
+            y = jnp.swapaxes(y, -1, -2)
+            for si in range(6):
+                y = _dit_stage(y, 1 << si, twAi_ref[p, 5 - si], pp[p], ip[p])
+            rsb.append(_mul_mod(y, itwist_ref[p][None, None], pp[p], ip[p]))
+
+        # exact CRT fold, per output poly m
+        acc = [[None] * Lout for _ in range(C2)]
+        for m in range(M):
+            rs = [rsb[p][:, m] for p in range(P)]
 
             # balanced Garner mixed-radix digits (ops/crt.py semantics)
             v1 = _to_canonical_k(rs[0], pp[0])
@@ -645,15 +893,26 @@ def fused_external_fold_pallas(ctx: NTTPallasContext, x, keys_ntt,
         in_specs.append(
             pl.BlockSpec((_TBF, c2 * out_limbs, _R, _R),
                          lambda b, d: (b, 0, 0, 0)))
-    inputs += [ctx.twist, ctx.twA, ctx.twB, ctx.inv_twist, ctx.twAi, ctx.twBi]
-    in_specs += [
-        pl.BlockSpec((P, _R, _R), lambda b, d: (0, 0, 0)),
-        pl.BlockSpec((P, 6, _R, _R), lambda b, d: (0, 0, 0, 0)),
-        pl.BlockSpec((P, 6, _R, _R), lambda b, d: (0, 0, 0, 0)),
-        pl.BlockSpec((P, _R, _R), lambda b, d: (0, 0, 0)),
-        pl.BlockSpec((P, 6, _R, _R), lambda b, d: (0, 0, 0, 0)),
-        pl.BlockSpec((P, 6, _R, _R), lambda b, d: (0, 0, 0, 0)),
-    ]
+    if _USE_MXU:
+        mdig, ew = _mxu_tables(ctx)
+        inputs += [ctx.twist, ctx.inv_twist, mdig, ew]
+        in_specs += [
+            pl.BlockSpec((P, _R, _R), lambda b, d: (0, 0, 0)),
+            pl.BlockSpec((P, _R, _R), lambda b, d: (0, 0, 0)),
+            pl.BlockSpec((P, 4, 3, _R, _R), lambda b, d: (0, 0, 0, 0, 0)),
+            pl.BlockSpec((P, 2, _R, _R), lambda b, d: (0, 0, 0, 0)),
+        ]
+    else:
+        inputs += [ctx.twist, ctx.twA, ctx.twB, ctx.inv_twist, ctx.twAi,
+                   ctx.twBi]
+        in_specs += [
+            pl.BlockSpec((P, _R, _R), lambda b, d: (0, 0, 0)),
+            pl.BlockSpec((P, 6, _R, _R), lambda b, d: (0, 0, 0, 0)),
+            pl.BlockSpec((P, 6, _R, _R), lambda b, d: (0, 0, 0, 0)),
+            pl.BlockSpec((P, _R, _R), lambda b, d: (0, 0, 0)),
+            pl.BlockSpec((P, 6, _R, _R), lambda b, d: (0, 0, 0, 0)),
+            pl.BlockSpec((P, 6, _R, _R), lambda b, d: (0, 0, 0, 0)),
+        ]
 
     out = pl.pallas_call(
         _fold_kernel_factory(ctx.primes, T, c2, Lk, out_limbs, digits,
@@ -694,26 +953,41 @@ def fused_external_fold_batched(ctx: NTTPallasContext, x, keys_ntt,
     k7 = keys_ntt.reshape(A, P, digits, T, M, _R, _R)
 
     Mo = c2 * out_limbs
+    specs = [
+        pl.BlockSpec((None, _TBF, T, _R, _R),
+                     lambda a, b, d: (a, b, 0, 0, 0)),
+        pl.BlockSpec((None, P, 1, T, M, _R, _R),
+                     lambda a, b, d: (a, 0, d, 0, 0, 0, 0)),
+    ]
+    if _USE_MXU:
+        mdig, ew = _mxu_tables(ctx)
+        tables = [ctx.twist, ctx.inv_twist, mdig, ew]
+        specs += [
+            pl.BlockSpec((P, _R, _R), lambda a, b, d: (0, 0, 0)),
+            pl.BlockSpec((P, _R, _R), lambda a, b, d: (0, 0, 0)),
+            pl.BlockSpec((P, 4, 3, _R, _R), lambda a, b, d: (0, 0, 0, 0, 0)),
+            pl.BlockSpec((P, 2, _R, _R), lambda a, b, d: (0, 0, 0, 0)),
+        ]
+    else:
+        tables = [ctx.twist, ctx.twA, ctx.twB, ctx.inv_twist, ctx.twAi,
+                  ctx.twBi]
+        specs += [
+            pl.BlockSpec((P, _R, _R), lambda a, b, d: (0, 0, 0)),
+            pl.BlockSpec((P, 6, _R, _R), lambda a, b, d: (0, 0, 0, 0)),
+            pl.BlockSpec((P, 6, _R, _R), lambda a, b, d: (0, 0, 0, 0)),
+            pl.BlockSpec((P, _R, _R), lambda a, b, d: (0, 0, 0)),
+            pl.BlockSpec((P, 6, _R, _R), lambda a, b, d: (0, 0, 0, 0)),
+            pl.BlockSpec((P, 6, _R, _R), lambda a, b, d: (0, 0, 0, 0)),
+        ]
     out = pl.pallas_call(
         _fold_kernel_factory(ctx.primes, T, c2, Lk, out_limbs, digits,
                              has_base=False, sign=1, dig_axis=2),
         grid=(A, Bp // _TBF, digits),
-        in_specs=[
-            pl.BlockSpec((None, _TBF, T, _R, _R),
-                         lambda a, b, d: (a, b, 0, 0, 0)),
-            pl.BlockSpec((None, P, 1, T, M, _R, _R),
-                         lambda a, b, d: (a, 0, d, 0, 0, 0, 0)),
-            pl.BlockSpec((P, _R, _R), lambda a, b, d: (0, 0, 0)),
-            pl.BlockSpec((P, 6, _R, _R), lambda a, b, d: (0, 0, 0, 0)),
-            pl.BlockSpec((P, 6, _R, _R), lambda a, b, d: (0, 0, 0, 0)),
-            pl.BlockSpec((P, _R, _R), lambda a, b, d: (0, 0, 0)),
-            pl.BlockSpec((P, 6, _R, _R), lambda a, b, d: (0, 0, 0, 0)),
-            pl.BlockSpec((P, 6, _R, _R), lambda a, b, d: (0, 0, 0, 0)),
-        ],
+        in_specs=specs,
         out_specs=pl.BlockSpec((None, _TBF, Mo, _R, _R),
                                lambda a, b, d: (a, b, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((A, Bp, Mo, _R, _R), I32),
         scratch_shapes=[pltpu.VMEM((_TBF, T, _R, _R), I32)],
         interpret=interpret,
-    )(x, k7, ctx.twist, ctx.twA, ctx.twB, ctx.inv_twist, ctx.twAi, ctx.twBi)
+    )(x, k7, *tables)
     return out[:, :B].reshape(A, B, c2, out_limbs, n)

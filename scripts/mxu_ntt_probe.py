@@ -126,33 +126,41 @@ def digit_planes(M, p):
     d1 = np.rint(r / 2.0 ** 7).astype(np.int64)
     d0 = r - (d1 << 7)
     assert np.abs(d2).max() <= 64 and np.abs(d1).max() <= 64 and np.abs(d0).max() <= 64
-    return np.stack([d0, d1, d2]).astype(np.float32).astype(jnp.bfloat16)
+    st = np.stack([d0, d1, d2])
+    if USE_I8:
+        return st.astype(np.int8)
+    return st.astype(np.float32).astype(jnp.bfloat16)
 
 
 # ---------------------------------------------------------------- kernel
 
+USE_I8 = True
+
+
 def _split3(x):
-    """int32 -> three balanced 7-bit digit planes (bf16)."""
+    """int32 -> three balanced 7-bit digit planes."""
     d2 = (x + (1 << 13)) >> 14
     r = x - (d2 << 14)
     d1 = (r + (1 << 6)) >> 7
     d0 = r - (d1 << 7)
-    return (d0.astype(BF16), d1.astype(BF16), d2.astype(BF16))
+    t = jnp.int8 if USE_I8 else BF16
+    return (d0.astype(t), d1.astype(t), d2.astype(t))
 
 
 def _mm_mod(x, mdig, p, ip):
     """Exact (M @ x) mod p on the MXU.  x: int32[B, 64, 64] (|x| <=
-    2^20); mdig: bf16[3, 64, 64] digit planes of M."""
+    2^20); mdig: [3, 64, 64] digit planes of M."""
     B = x.shape[0]
     xd = _split3(x)
     # weight classes w = i + j (digit weights 2^(7w))
     S = [None] * 5
+    acc_t = I32 if USE_I8 else F32
     for i in range(3):
         mb = jnp.broadcast_to(mdig[i], (B, _R, _R))
         for j in range(3):
             pr = jax.lax.dot_general(
                 mb, xd[j], (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=F32)
+                preferred_element_type=acc_t)
             w = i + j
             S[w] = pr if S[w] is None else S[w] + pr
     S = [s.astype(I32) for s in S]
