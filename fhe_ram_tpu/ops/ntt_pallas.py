@@ -4,21 +4,27 @@ Why: the jnp butterfly NTT materializes each of the 12 stages to HBM
 (~24 round trips per transform); these kernels run ALL stages in VMEM:
 HBM traffic is one read + one write per transform.
 
-Mosaic-native formulation: data lives as [TB, 64, 64] (i, j) blocks
-(N = 4096 = 64*64, pre-split OUTSIDE the kernel -- Mosaic cannot reshape
-the lane dimension).  The first six DIF stages pair along i, the last
-six along j after one in-VMEM transpose.  Butterflies are expressed with
-sublane ROLLS + masked selects -- no reshapes at all inside the kernel:
+Two in-kernel formulations, selected by FHERAM_MXU (process-global,
+fixed BEFORE any keygen/jit -- the two spectrum orders differ):
 
-    lo half:  out = x + roll(x, -h)             (u + v)
-    hi half:  out = (roll(x, +h) - x) * w       (u - v) * w   [fwd DIF]
+* FHERAM_MXU=1 (default): 32x128 tiles, each phase an exact int8 MXU
+  matmul with the psi twists and 1/N folded into the tables -- see the
+  "MXU tile NTT" section.  Full (8, 128)-vreg lane utilization, no
+  in-kernel transposes.
 
-with per-stage full [64, 64] twiddle tables (identity in the lo half,
-so the masked-out branch stays bounded) and iota-derived masks.  Rolled
-wrap-around lanes only land where the mask selects the other branch.
-The inverse kernel mirrors the stage order, so fwd/inv are exact
-inverses including the (permuted) spectrum order.  All arithmetic is the
-int32 + float32-Barrett of ops/modular.py.
+* FHERAM_MXU=0 (debug fallback): [TB, 64, 64] (i, j) blocks (Mosaic
+  cannot reshape the lane dimension, so tiles are pre-split OUTSIDE the
+  kernel).  Six DIF stages pair along i, six along j after one in-VMEM
+  transpose; butterflies are sublane ROLLS + masked selects:
+
+      lo half:  out = x + roll(x, -h)             (u + v)
+      hi half:  out = (roll(x, +h) - x) * w       (u - v) * w   [fwd DIF]
+
+  with per-stage full [64, 64] twiddle tables (identity in the lo half)
+  and iota-derived masks.
+
+Both: fwd/inv are exact inverses including the (permuted) spectrum
+order; all arithmetic is the int32 + float32-Barrett of ops/modular.py.
 """
 
 from __future__ import annotations
@@ -149,42 +155,41 @@ def get_pallas_context(n: int, primes: tuple[int, ...]) -> NTTPallasContext:
 
 
 # --------------------------------------------------------------------------
-# MXU phase matmuls
+# MXU tile NTT: 32x128 tiles, twists folded into the matrices
 # --------------------------------------------------------------------------
 #
-# Each phase of the two-phase tile NTT is a linear map over Z_p that
-# factors into at most one elementwise twiddle and ONE 64x64 left-matmul
-# (verified numerically for all four phases and all primes):
+# N = 4096 is factored 32 (sublane) x 128 (lane): coefficient
+# k = 128*i + j lives at tile position [i, j].  The negacyclic NTT
+# X_hat[s] = sum_k x[k] psi^k omega^(k*s) then factors (s = a + 32*b)
+# into ONE 32x32 left matmul, ONE elementwise [32, 128] table, and ONE
+# 128x128 right matmul -- derived directly from the DFT definition with
+# the psi twists and 1/N folded into the tables:
 #
-#     fwd A : Y = E_A o (M_A @ X)        fwd B : Y = M_B @ X
-#     inv Bi: Y = M_Bi @ X               inv Ai: Y = M_Ai @ (F_Ai o X)
+#     fwd:  Y[a, b]  = ((Cf @ X) o Tf) @ Rf
+#     inv:  x[i, j]  = Ci @ (Ti o (Y @ Ri))
+#
+#     Cf[a,i] = om^(128*i*a) psi^(128*i)     Tf[a,j] = om^(j*a) psi^j
+#     Rf[j,b] = om^(32*j*b)
+#     Ri[b,j] = om^(-32*j*b)   Ti[a,j] = om^(-j*a) psi^-j / N
+#     Ci[i,a] = om^(-128*i*a) psi^(-128*i)
+#
+# Why this shape: the VPU vreg is (8, 128) and Mosaic pads the minor
+# dim to 128, so the previous 64x64 tiles ran EVERY elementwise op at
+# 50% lane utilization; 32x128 tiles fill the vregs exactly (and the
+# i8 digit planes hit the int8 min tile (32, 128) exactly).  There is
+# no in-kernel transpose: the lane-mixing phase is a right matmul.
+# Spectral order is [a(sublane), b(lane)] -- different from the stage
+# pipeline's order, so FHERAM_MXU must be fixed BEFORE any keygen/jit
+# (same invariant as FHERAM_NTT).
 #
 # The matmuls run EXACTLY on the MXU in int8: operands split into three
-# balanced 7-bit digits (|d| <= 64 -- matrix entries; <= 119 for the
-# |x| <= 2^20.9 data side), products <= 2^13.8, 64-term dot sums
-# <= 2^19.8, accumulated exactly in int32.  Recombination is 4 mul_mods
-# per element on the VPU.  Measured 2.3x faster than the stage pipeline
-# at the level-0 shape (scripts/mxu_ntt_probe.py), bit-exact, and the
-# spectrum order is IDENTICAL, so prepared keys are unaffected.
-
-def _dif_np(x, h, tw, p):
-    """Vectorized numpy replica of _dif_stage (x: [..., 64, 64] mod p)."""
-    up = np.roll(x, -h, -2)
-    dn = np.roll(x, h, -2)
-    lo = (np.arange(_R).reshape(-1, 1) & h) == 0
-    return np.where(lo, (x + up) % p, ((dn - x) * tw) % p)
-
-
-def _dit_np(x, h, tw, p):
-    t = (x * tw) % p
-    up = np.roll(t, -h, -2)
-    dn = np.roll(x, h, -2)
-    lo = (np.arange(_R).reshape(-1, 1) & h) == 0
-    return np.where(lo, (x + up) % p, (dn - t) % p)
-
+# balanced 7-bit digits (|d| <= 64 for matrix entries; <= 119 for the
+# |x| <= 2^20.9 data side), products <= 2^13.9, dot sums over <= 128
+# terms <= 2^21, accumulated exactly in int32.  Recombination is 4
+# mul_mods per element on the VPU.
 
 def _digit_planes_i8(M, p):
-    """Balanced 7-bit digit planes of centered M: int8[3, 64, 64]."""
+    """Balanced 7-bit digit planes of centered M: int8[3, *M.shape]."""
     Mc = _center(M % p, p).astype(np.int64)
     d2 = np.rint(Mc / 2.0 ** 14).astype(np.int64)
     r = Mc - (d2 << 14)
@@ -194,63 +199,67 @@ def _digit_planes_i8(M, p):
     return np.stack([d0, d1, d2]).astype(np.int8)
 
 
+_SL = 32   # MXU tile sublanes
+_LN = 128  # MXU tile lanes
+
+
 def _derive_mxu_tables(ctx: NTTPallasContext):
-    """[P, 4, 3, 64, 64] int8 matrix digit planes (A, B, Bi, Ai) and
-    [P, 2, 64, 64] int32 centered elementwise maps (E_A, F_Ai)."""
+    """Returns (cdig [P,2,3,32,32] i8, rdig [P,2,3,128,128] i8,
+    ew [P,2,32,128] i32): fwd tables at index 0, inverse at index 1."""
     P = len(ctx.primes)
-    mdig = np.zeros((P, 4, 3, _R, _R), dtype=np.int8)
-    ew = np.zeros((P, 2, _R, _R), dtype=np.int32)
-    basis = np.zeros((_R, _R, _R), dtype=np.int64)
-    for q in range(_R):
-        basis[q, q, :] = 1
+    n = ctx.n
+    assert n == _SL * _LN
+    cdig = np.zeros((P, 2, 3, _SL, _SL), dtype=np.int8)
+    rdig = np.zeros((P, 2, 3, _LN, _LN), dtype=np.int8)
+    ew = np.zeros((P, 2, _SL, _LN), dtype=np.int32)
     for pi, p in enumerate(ctx.primes):
-        twA = ctx.twA[pi].astype(np.int64) % p
-        twB = ctx.twB[pi].astype(np.int64) % p
-        twAi = ctx.twAi[pi].astype(np.int64) % p
-        twBi = ctx.twBi[pi].astype(np.int64) % p
+        g = _primitive_root(p)
+        psi = pow(g, (p - 1) // (2 * n), p)
+        assert pow(psi, n, p) == p - 1
+        om = psi * psi % p
+        iom = pow(om, p - 2, p)
+        ipsi = pow(psi, p - 2, p)
+        inv_n = pow(n, p - 2, p)
 
-        def phase(x, tws, inv):
-            for s in range(6):
-                x = (_dit_np(x, 1 << s, tws[5 - s], p) if inv
-                     else _dif_np(x, 32 >> s, tws[s], p))
-            return x
+        def tab(rows, cols, f):
+            return np.array([[f(r, c) for c in range(cols)]
+                             for r in range(rows)], dtype=np.int64)
 
-        def colmaps(tws, inv):
-            # A[i, q, j] = A_j[i, q]: basis row q broadcast over lanes
-            return np.moveaxis(phase(basis, tws, inv), 0, 1)
+        Cf = tab(_SL, _SL, lambda a, i:
+                 pow(om, 128 * i * a % n, p) * pow(psi, 128 * i, p) % p)
+        Tf = tab(_SL, _LN, lambda a, j:
+                 pow(om, j * a % n, p) * pow(psi, j, p) % p)
+        Rf = tab(_LN, _LN, lambda j, b: pow(om, 32 * j * b % n, p))
+        Ri = tab(_LN, _LN, lambda b, j: pow(iom, 32 * j * b % n, p))
+        Ti = tab(_SL, _LN, lambda a, j:
+                 pow(iom, j * a % n, p) * pow(ipsi, j, p) * inv_n % p)
+        Ci = tab(_SL, _SL, lambda i, a:
+                 pow(iom, 128 * i * a % n, p) * pow(ipsi, 128 * i, p) % p)
 
-        AA, AB = colmaps(twA, False), colmaps(twB, False)
-        ABi, AAi = colmaps(twBi, True), colmaps(twAi, True)
-
-        MA = AA[:, :, 0] % p
-        EA = np.zeros((_R, _R), dtype=np.int64)
-        for j in range(_R):
-            for i in range(_R):
-                q0 = np.nonzero(MA[i])[0][0]
-                EA[i, j] = (AA[i, q0, j] * pow(int(MA[i, q0]), p - 2, p)) % p
-        MAi = AAi[:, :, 0] % p
-        FAi = np.zeros((_R, _R), dtype=np.int64)
-        for j in range(_R):
-            for q in range(_R):
-                i0 = np.nonzero(MAi[:, q])[0][0]
-                FAi[q, j] = (AAi[i0, q, j] * pow(int(MAi[i0, q]), p - 2, p)) % p
-
-        # exactness guard: the factorization must reproduce the phases
+        # exactness guard: factorization == the DFT definition (spot
+        # lattice of s values, vectorized), and inv(fwd) == identity
         rnd = np.random.default_rng(1)
-        X = rnd.integers(0, p, size=(_R, _R))
-        assert np.array_equal(phase(X, twA, False) % p,
-                              (EA * (MA @ X % p)) % p)
-        assert np.array_equal(phase(X, twB, False) % p, AB[:, :, 0] @ X % p)
-        assert np.array_equal(phase(X, twBi, True) % p, ABi[:, :, 0] @ X % p)
-        assert np.array_equal(phase(X, twAi, True) % p, MAi @ ((FAi * X) % p) % p)
+        X = rnd.integers(0, p, size=(_SL, _LN))
+        Y = (Cf @ X % p) * Tf % p @ Rf % p
+        kk = (128 * np.arange(_SL)[:, None] + np.arange(_LN)[None, :]).ravel()
+        om_pow = np.array([pow(om, e, p) for e in range(n)], dtype=np.int64)
+        psi_k = np.array([pow(psi, int(t), p) for t in kk], dtype=np.int64)
+        xf = X.ravel() * psi_k % p
+        for a in range(0, _SL, 7):
+            for b in range(0, _LN, 37):
+                ss = a + 32 * b
+                want = int((xf * om_pow[kk * ss % n]).sum() % p)
+                assert want == Y[a, b], (p, a, b)
+        Xb = (Ci @ ((Y @ Ri % p) * Ti % p) % p)
+        assert np.array_equal(Xb, X % p), f"roundtrip failed for prime {p}"
 
-        mdig[pi, 0] = _digit_planes_i8(MA, p)
-        mdig[pi, 1] = _digit_planes_i8(AB[:, :, 0] % p, p)
-        mdig[pi, 2] = _digit_planes_i8(ABi[:, :, 0] % p, p)
-        mdig[pi, 3] = _digit_planes_i8(MAi, p)
-        ew[pi, 0] = _center(EA, p).astype(np.int32)
-        ew[pi, 1] = _center(FAi, p).astype(np.int32)
-    return mdig, ew
+        cdig[pi, 0] = _digit_planes_i8(Cf, p)
+        cdig[pi, 1] = _digit_planes_i8(Ci, p)
+        rdig[pi, 0] = _digit_planes_i8(Rf, p)
+        rdig[pi, 1] = _digit_planes_i8(Ri, p)
+        ew[pi, 0] = _center(Tf, p).astype(np.int32)
+        ew[pi, 1] = _center(Ti, p).astype(np.int32)
+    return cdig, rdig, ew
 
 
 def _mxu_tables(ctx: NTTPallasContext):
@@ -268,29 +277,6 @@ def _split3_i8(x):
     return (d0.astype(I8), d1.astype(I8), d2.astype(I8))
 
 
-def _mm_mod(x, mdig, p, ip):
-    """Exact (M @ x) mod p on the MXU.  x: int32[..., 64, 64] with
-    |x| <= 2^20.9; mdig: int8[3, 64, 64] digit planes of M."""
-    lead = x.shape[:-2]
-    x = x.reshape((-1, _R, _R))
-    B = x.shape[0]
-    xd = _split3_i8(x)
-    S = [None] * 5  # weight classes w = i + j, weights 2^(7w)
-    for i in range(3):
-        mb = jnp.broadcast_to(mdig[i], (B, _R, _R))
-        for j in range(3):
-            pr = jax.lax.dot_general(
-                mb, xd[j], (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=I32)
-            w = i + j
-            S[w] = pr if S[w] is None else S[w] + pr
-    y = S[0] + _mul_mod(S[1], np.int32(1 << 7), p, ip)
-    y = y + _mul_mod(S[2], _cent_const(1 << 14, p), p, ip)
-    y = y + _mul_mod(S[3], _cent_const(1 << 21, p), p, ip)
-    y = y + _mul_mod(S[4], _cent_const(1 << 28, p), p, ip)
-    return _reduce(y, p, ip).reshape(lead + (_R, _R))
-
-
 def _cent_const(v, p):
     """2^k mod p, centered.  p may be a static int (fold kernel: primes
     baked into the factory) or a traced scalar (standalone kernels:
@@ -302,24 +288,48 @@ def _cent_const(v, p):
     return vv - jnp.where(vv > p // 2, p, jnp.int32(0))
 
 
-def _fwd_tile_mxu(x, twist, mdig_p, ew_p, p, ip):
-    """Forward tile NTT via MXU: twist -> E_A o (M_A @) -> swap -> M_B @.
-    Bit-exact, same spectrum order as the stage pipeline."""
-    x = _mul_mod(x, _bshape(x, twist), p, ip)
-    y = _mm_mod(x, mdig_p[0], p, ip)
+def _mm_planes(x, mdig, p, ip, right: bool):
+    """Exact (M @ x) (left) or (x @ M) (right) mod p on the MXU.
+    x: int32[..., 32, 128] with |x| <= 2^20.9; mdig: int8[3, 32, 32]
+    (left) or int8[3, 128, 128] (right) digit planes of M."""
+    lead = x.shape[:-2]
+    x = x.reshape((-1,) + x.shape[-2:])
+    B = x.shape[0]
+    xd = _split3_i8(x)
+    S = [None] * 5  # weight classes w = i + j, weights 2^(7w)
+    for i in range(3):
+        mb = jnp.broadcast_to(mdig[i], (B,) + mdig.shape[1:])
+        for j in range(3):
+            if right:
+                pr = jax.lax.dot_general(
+                    xd[j], mb, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=I32)
+            else:
+                pr = jax.lax.dot_general(
+                    mb, xd[j], (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=I32)
+            w = i + j
+            S[w] = pr if S[w] is None else S[w] + pr
+    y = S[0] + _mul_mod(S[1], np.int32(1 << 7), p, ip)
+    y = y + _mul_mod(S[2], _cent_const(1 << 14, p), p, ip)
+    y = y + _mul_mod(S[3], _cent_const(1 << 21, p), p, ip)
+    y = y + _mul_mod(S[4], _cent_const(1 << 28, p), p, ip)
+    return _reduce(y, p, ip).reshape(lead + x.shape[-2:])
+
+
+def _fwd_tile_mxu(x, cdig_p, rdig_p, ew_p, p, ip):
+    """Forward tile NTT via MXU on [..., 32, 128] tiles (twists folded):
+    (Cf @ x) o Tf @ Rf."""
+    y = _mm_planes(x, cdig_p[0], p, ip, right=False)
     y = _mul_mod(y, _bshape(y, ew_p[0]), p, ip)
-    y = jnp.swapaxes(y, -1, -2)
-    return _mm_mod(y, mdig_p[1], p, ip)
+    return _mm_planes(y, rdig_p[0], p, ip, right=True)
 
 
-def _inv_tile_mxu(y, itwist, mdig_p, ew_p, p, ip):
-    """Inverse tile NTT via MXU: M_Bi @ -> swap -> M_Ai @ (F_Ai o) ->
-    itwist."""
-    y = _mm_mod(y, mdig_p[2], p, ip)
-    y = jnp.swapaxes(y, -1, -2)
+def _inv_tile_mxu(y, cdig_p, rdig_p, ew_p, p, ip):
+    """Inverse tile NTT via MXU: Ci @ (Ti o (y @ Ri)) (1/N folded)."""
+    y = _mm_planes(y, rdig_p[1], p, ip, right=True)
     y = _mul_mod(y, _bshape(y, ew_p[1]), p, ip)
-    y = _mm_mod(y, mdig_p[3], p, ip)
-    return _mul_mod(y, _bshape(y, itwist), p, ip)
+    return _mm_planes(y, cdig_p[1], p, ip, right=False)
 
 
 def _bshape(x, arr):
@@ -408,15 +418,15 @@ def _inv_kernel(p_ref, ip_ref, x_ref, itwist_ref, twAi_ref, twBi_ref, o_ref):
     o_ref[...] = _mul_mod(x, itwist_ref[0][None], p, ip)[None]
 
 
-def _fwd_kernel_mxu(p_ref, ip_ref, x_ref, twist_ref, mdig_ref, ew_ref, o_ref):
+def _fwd_kernel_mxu(p_ref, ip_ref, x_ref, cdig_ref, rdig_ref, ew_ref, o_ref):
     pid = pl.program_id(0)
-    o_ref[...] = _fwd_tile_mxu(x_ref[...], twist_ref[0], mdig_ref[0],
+    o_ref[...] = _fwd_tile_mxu(x_ref[...], cdig_ref[0], rdig_ref[0],
                                ew_ref[0], p_ref[pid, 0], ip_ref[pid, 0])[None]
 
 
-def _inv_kernel_mxu(p_ref, ip_ref, x_ref, itwist_ref, mdig_ref, ew_ref, o_ref):
+def _inv_kernel_mxu(p_ref, ip_ref, x_ref, cdig_ref, rdig_ref, ew_ref, o_ref):
     pid = pl.program_id(0)
-    o_ref[...] = _inv_tile_mxu(x_ref[0], itwist_ref[0], mdig_ref[0],
+    o_ref[...] = _inv_tile_mxu(x_ref[0], cdig_ref[0], rdig_ref[0],
                                ew_ref[0], p_ref[pid, 0], ip_ref[pid, 0])[None]
 
 
@@ -424,30 +434,32 @@ def ntt_fwd_pallas(ctx: NTTPallasContext, x, interpret: bool = False):
     """x: int32[..., N] (|x| <= 2^21) -> int32[P, ..., N]."""
     n = ctx.n
     lead = x.shape[:-1]
-    x = x.reshape(-1, _R, _R)
+    TR, TC = (_SL, _LN) if _USE_MXU else (_R, _R)
+    x = x.reshape(-1, TR, TC)
     B = x.shape[0]
     Bp = -(-B // _TB) * _TB
     if Bp != B:
         x = jnp.concatenate(
-            [x, jnp.zeros((Bp - B, _R, _R), dtype=x.dtype)], axis=0)
+            [x, jnp.zeros((Bp - B, TR, TC), dtype=x.dtype)], axis=0)
     P = len(ctx.primes)
     base_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pltpu.SMEM),
-        pl.BlockSpec((_TB, _R, _R), lambda p, b: (b, 0, 0)),
-        pl.BlockSpec((1, _R, _R), lambda p, b: (p, 0, 0)),
+        pl.BlockSpec((_TB, TR, TC), lambda p, b: (b, 0, 0)),
     ]
     if _USE_MXU:
-        mdig, ew = _mxu_tables(ctx)
+        cdig, rdig, ew = _mxu_tables(ctx)
         kern = _fwd_kernel_mxu
         specs = base_specs + [
-            pl.BlockSpec((1, 4, 3, _R, _R), lambda p, b: (p, 0, 0, 0, 0)),
-            pl.BlockSpec((1, 2, _R, _R), lambda p, b: (p, 0, 0, 0)),
+            pl.BlockSpec((1, 2, 3, _SL, _SL), lambda p, b: (p, 0, 0, 0, 0)),
+            pl.BlockSpec((1, 2, 3, _LN, _LN), lambda p, b: (p, 0, 0, 0, 0)),
+            pl.BlockSpec((1, 2, _SL, _LN), lambda p, b: (p, 0, 0, 0)),
         ]
-        tables = (ctx.twist, mdig, ew)
+        tables = (cdig, rdig, ew)
     else:
         kern = _fwd_kernel
         specs = base_specs + [
+            pl.BlockSpec((1, _R, _R), lambda p, b: (p, 0, 0)),
             pl.BlockSpec((1, 6, _R, _R), lambda p, b: (p, 0, 0, 0)),
             pl.BlockSpec((1, 6, _R, _R), lambda p, b: (p, 0, 0, 0)),
         ]
@@ -456,8 +468,8 @@ def ntt_fwd_pallas(ctx: NTTPallasContext, x, interpret: bool = False):
         kern,
         grid=(P, Bp // _TB),
         in_specs=specs,
-        out_specs=pl.BlockSpec((1, _TB, _R, _R), lambda p, b: (p, b, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((P, Bp, _R, _R), I32),
+        out_specs=pl.BlockSpec((1, _TB, TR, TC), lambda p, b: (p, b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((P, Bp, TR, TC), I32),
         interpret=interpret,
     )(ctx.p_arr, ctx.ip_arr, x, *tables)
     return out[:, :B].reshape((P,) + lead + (n,))
@@ -468,29 +480,31 @@ def ntt_inv_pallas(ctx: NTTPallasContext, x, interpret: bool = False):
     n = ctx.n
     P = len(ctx.primes)
     lead = x.shape[1:-1]
-    x = x.reshape(P, -1, _R, _R)
+    TR, TC = (_SL, _LN) if _USE_MXU else (_R, _R)
+    x = x.reshape(P, -1, TR, TC)
     B = x.shape[1]
     Bp = -(-B // _TB) * _TB
     if Bp != B:
         x = jnp.concatenate(
-            [x, jnp.zeros((P, Bp - B, _R, _R), dtype=x.dtype)], axis=1)
+            [x, jnp.zeros((P, Bp - B, TR, TC), dtype=x.dtype)], axis=1)
     base_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, _TB, _R, _R), lambda p, b: (p, b, 0, 0)),
-        pl.BlockSpec((1, _R, _R), lambda p, b: (p, 0, 0)),
+        pl.BlockSpec((1, _TB, TR, TC), lambda p, b: (p, b, 0, 0)),
     ]
     if _USE_MXU:
-        mdig, ew = _mxu_tables(ctx)
+        cdig, rdig, ew = _mxu_tables(ctx)
         kern = _inv_kernel_mxu
         specs = base_specs + [
-            pl.BlockSpec((1, 4, 3, _R, _R), lambda p, b: (p, 0, 0, 0, 0)),
-            pl.BlockSpec((1, 2, _R, _R), lambda p, b: (p, 0, 0, 0)),
+            pl.BlockSpec((1, 2, 3, _SL, _SL), lambda p, b: (p, 0, 0, 0, 0)),
+            pl.BlockSpec((1, 2, 3, _LN, _LN), lambda p, b: (p, 0, 0, 0, 0)),
+            pl.BlockSpec((1, 2, _SL, _LN), lambda p, b: (p, 0, 0, 0)),
         ]
-        tables = (ctx.inv_twist, mdig, ew)
+        tables = (cdig, rdig, ew)
     else:
         kern = _inv_kernel
         specs = base_specs + [
+            pl.BlockSpec((1, _R, _R), lambda p, b: (p, 0, 0)),
             pl.BlockSpec((1, 6, _R, _R), lambda p, b: (p, 0, 0, 0)),
             pl.BlockSpec((1, 6, _R, _R), lambda p, b: (p, 0, 0, 0)),
         ]
@@ -499,8 +513,8 @@ def ntt_inv_pallas(ctx: NTTPallasContext, x, interpret: bool = False):
         kern,
         grid=(P, Bp // _TB),
         in_specs=specs,
-        out_specs=pl.BlockSpec((1, _TB, _R, _R), lambda p, b: (p, b, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((P, Bp, _R, _R), I32),
+        out_specs=pl.BlockSpec((1, _TB, TR, TC), lambda p, b: (p, b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((P, Bp, TR, TC), I32),
         interpret=interpret,
     )(ctx.p_arr, ctx.ip_arr, x, *tables)
     return out[:, :B].reshape((P,) + lead + (n,))
@@ -515,6 +529,25 @@ _TBR = 4  # ct rows per grid step in the fused kernel
 
 
 def _fused_kernel_factory(T: int, M: int):
+    def kernel_mxu(p_ref, ip_ref, x_ref, k_ref, cdig_ref, rdig_ref, ew_ref,
+                   o_ref):
+        p = p_ref[pl.program_id(0), 0]
+        ip = ip_ref[pl.program_id(0), 0]
+        # forward transform of all T digit polys: [TBR, T, 32, 128]
+        x = _fwd_tile_mxu(x_ref[...], cdig_ref[0], rdig_ref[0], ew_ref[0],
+                          p, ip)
+        # pointwise VMP, then ONE batched inverse transform
+        vs = []
+        for m in range(M):
+            acc = None
+            for t in range(T):
+                term = _mul_mod(x[:, t], k_ref[0, t, m][None], p, ip)
+                acc = term if acc is None else acc + term
+            vs.append(_reduce(acc, p, ip))
+        y = jnp.stack(vs, axis=1)
+        o_ref[...] = _inv_tile_mxu(y, cdig_ref[0], rdig_ref[0], ew_ref[0],
+                                   p, ip)[None]
+
     def kernel(p_ref, ip_ref, x_ref, k_ref, twist_ref, twA_ref, twB_ref,
                itwist_ref, twAi_ref, twBi_ref, o_ref):
         pid = pl.program_id(0)
@@ -541,7 +574,7 @@ def _fused_kernel_factory(T: int, M: int):
                 y = _dit_stage(y, 1 << si, twAi_ref[0, 5 - si], p, ip)
             o_ref[0, :, m] = _mul_mod(y, itwist_ref[0][None], p, ip)
 
-    return kernel
+    return kernel_mxu if _USE_MXU else kernel
 
 
 def fused_external_pallas(ctx: NTTPallasContext, x, keys_ntt,
@@ -561,33 +594,47 @@ def fused_external_pallas(ctx: NTTPallasContext, x, keys_ntt,
     B, T, n_ = x.shape
     P, T2, M, n3 = keys_ntt.shape
     assert n_ == n and n3 == n and T2 == T
-    x = x.reshape(B, T, _R, _R)
+    TR, TC = (_SL, _LN) if _USE_MXU else (_R, _R)
+    x = x.reshape(B, T, TR, TC)
     Bp = -(-B // _TBR) * _TBR
     if Bp != B:
         x = jnp.concatenate(
-            [x, jnp.zeros((Bp - B, T, _R, _R), dtype=x.dtype)], axis=0)
-    k4 = keys_ntt.reshape(P, T, M, _R, _R)
+            [x, jnp.zeros((Bp - B, T, TR, TC), dtype=x.dtype)], axis=0)
+    k4 = keys_ntt.reshape(P, T, M, TR, TC)
+    base_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((_TBR, T, TR, TC), lambda p, b: (b, 0, 0, 0)),
+        pl.BlockSpec((1, T, M, TR, TC), lambda p, b: (p, 0, 0, 0, 0)),
+    ]
+    if _USE_MXU:
+        cdig, rdig, ew = _mxu_tables(ctx)
+        specs = base_specs + [
+            pl.BlockSpec((1, 2, 3, _SL, _SL), lambda p, b: (p, 0, 0, 0, 0)),
+            pl.BlockSpec((1, 2, 3, _LN, _LN), lambda p, b: (p, 0, 0, 0, 0)),
+            pl.BlockSpec((1, 2, _SL, _LN), lambda p, b: (p, 0, 0, 0)),
+        ]
+        tables = (cdig, rdig, ew)
+    else:
+        specs = base_specs + [
+            pl.BlockSpec((1, _R, _R), lambda p, b: (p, 0, 0)),
+            pl.BlockSpec((1, 6, _R, _R), lambda p, b: (p, 0, 0, 0)),
+            pl.BlockSpec((1, 6, _R, _R), lambda p, b: (p, 0, 0, 0)),
+            pl.BlockSpec((1, _R, _R), lambda p, b: (p, 0, 0)),
+            pl.BlockSpec((1, 6, _R, _R), lambda p, b: (p, 0, 0, 0)),
+            pl.BlockSpec((1, 6, _R, _R), lambda p, b: (p, 0, 0, 0)),
+        ]
+        tables = (ctx.twist, ctx.twA, ctx.twB, ctx.inv_twist, ctx.twAi,
+                  ctx.twBi)
     out = pl.pallas_call(
         _fused_kernel_factory(T, M),
         grid=(P, Bp // _TBR),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((_TBR, T, _R, _R), lambda p, b: (b, 0, 0, 0)),
-            pl.BlockSpec((1, T, M, _R, _R), lambda p, b: (p, 0, 0, 0, 0)),
-            pl.BlockSpec((1, _R, _R), lambda p, b: (p, 0, 0)),
-            pl.BlockSpec((1, 6, _R, _R), lambda p, b: (p, 0, 0, 0)),
-            pl.BlockSpec((1, 6, _R, _R), lambda p, b: (p, 0, 0, 0)),
-            pl.BlockSpec((1, _R, _R), lambda p, b: (p, 0, 0)),
-            pl.BlockSpec((1, 6, _R, _R), lambda p, b: (p, 0, 0, 0)),
-            pl.BlockSpec((1, 6, _R, _R), lambda p, b: (p, 0, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, _TBR, M, _R, _R),
+        in_specs=specs,
+        out_specs=pl.BlockSpec((1, _TBR, M, TR, TC),
                                lambda p, b: (p, b, 0, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((P, Bp, M, _R, _R), I32),
+        out_shape=jax.ShapeDtypeStruct((P, Bp, M, TR, TC), I32),
         interpret=interpret,
-    )(ctx.p_arr, ctx.ip_arr, x, k4, ctx.twist, ctx.twA, ctx.twB,
-      ctx.inv_twist, ctx.twAi, ctx.twBi)
+    )(ctx.p_arr, ctx.ip_arr, x, k4, *tables)
     return out[:, :B].reshape(P, B, M, n)
 
 
@@ -655,11 +702,11 @@ def _fold_kernel_factory(primes, T: int, C2: int, Lk: int, Lout: int,
     def kernel(*refs):
         if _USE_MXU:
             if has_base:
-                (x_ref, k_ref, base_ref, twist_ref, itwist_ref,
-                 mdig_ref, ew_ref, o_ref, carry_ref) = refs
+                (x_ref, k_ref, base_ref, cdig_ref, rdig_ref,
+                 ew_ref, o_ref, carry_ref) = refs
             else:
-                (x_ref, k_ref, twist_ref, itwist_ref,
-                 mdig_ref, ew_ref, o_ref, carry_ref) = refs
+                (x_ref, k_ref, cdig_ref, rdig_ref,
+                 ew_ref, o_ref, carry_ref) = refs
         else:
             if has_base:
                 (x_ref, k_ref, base_ref, twist_ref, twA_ref, twB_ref,
@@ -695,8 +742,8 @@ def _fold_kernel_factory(primes, T: int, C2: int, Lk: int, Lout: int,
             specs = []
             for p in range(P):
                 if _USE_MXU:
-                    specs.append(_fwd_tile_mxu(cur, twist_ref[p],
-                                               mdig_ref[p], ew_ref[p],
+                    specs.append(_fwd_tile_mxu(cur, cdig_ref[p],
+                                               rdig_ref[p], ew_ref[p],
                                                pp[p], ip[p]))
                     continue
                 x = _mul_mod(cur, twist_ref[p][None, None], pp[p], ip[p])
@@ -723,7 +770,7 @@ def _fold_kernel_factory(primes, T: int, C2: int, Lk: int, Lout: int,
                 vs.append(_reduce(s, pp[p], ip[p]))
             y = jnp.stack(vs, axis=1)
             if _USE_MXU:
-                rsb.append(_inv_tile_mxu(y, itwist_ref[p], mdig_ref[p],
+                rsb.append(_inv_tile_mxu(y, cdig_ref[p], rdig_ref[p],
                                          ew_ref[p], pp[p], ip[p]))
                 continue
             for si in range(6):
@@ -858,21 +905,22 @@ def fused_external_fold_pallas(ctx: NTTPallasContext, x, keys_ntt,
     if digits > 1:
         assert T == c2 * out_limbs, "chained digits need T == C2*Lout"
         assert base is None, "base fusion is single-digit only"
+    TR, TC = (_SL, _LN) if _USE_MXU else (_R, _R)
     Bp = -(-B // _TBF) * _TBF
     if x_is_ntt:
-        x = x.reshape(P, B, T, _R, _R)
+        x = x.reshape(P, B, T, TR, TC)
         if Bp != B:
             x = jnp.concatenate(
-                [x, jnp.zeros((P, Bp - B, T, _R, _R), dtype=x.dtype)], axis=1)
-        x_spec = pl.BlockSpec((P, _TBF, T, _R, _R),
+                [x, jnp.zeros((P, Bp - B, T, TR, TC), dtype=x.dtype)], axis=1)
+        x_spec = pl.BlockSpec((P, _TBF, T, TR, TC),
                               lambda b, d: (0, b, 0, 0, 0))
     else:
-        x = x.reshape(B, T, _R, _R)
+        x = x.reshape(B, T, TR, TC)
         if Bp != B:
             x = jnp.concatenate(
-                [x, jnp.zeros((Bp - B, T, _R, _R), dtype=x.dtype)], axis=0)
-        x_spec = pl.BlockSpec((_TBF, T, _R, _R), lambda b, d: (b, 0, 0, 0))
-    k6 = keys_ntt.reshape(P, digits, T, M, _R, _R)
+                [x, jnp.zeros((Bp - B, T, TR, TC), dtype=x.dtype)], axis=0)
+        x_spec = pl.BlockSpec((_TBF, T, TR, TC), lambda b, d: (b, 0, 0, 0))
+    k6 = keys_ntt.reshape(P, digits, T, M, TR, TC)
 
     has_base = base is not None
     inputs = [x, k6]
@@ -880,27 +928,26 @@ def fused_external_fold_pallas(ctx: NTTPallasContext, x, keys_ntt,
         x_spec,
         # one digit's keys per grid step: the whole chain resident (plus
         # double buffering) blows the 16 MB scoped-VMEM limit
-        pl.BlockSpec((P, 1, T, M, _R, _R),
+        pl.BlockSpec((P, 1, T, M, TR, TC),
                      lambda b, d: (0, d, 0, 0, 0, 0)),
     ]
     if has_base:
-        bb = base.reshape(B, c2 * out_limbs, _R, _R)
+        bb = base.reshape(B, c2 * out_limbs, TR, TC)
         if Bp != B:
             bb = jnp.concatenate(
-                [bb, jnp.zeros((Bp - B, c2 * out_limbs, _R, _R), bb.dtype)],
+                [bb, jnp.zeros((Bp - B, c2 * out_limbs, TR, TC), bb.dtype)],
                 axis=0)
         inputs.append(bb)
         in_specs.append(
-            pl.BlockSpec((_TBF, c2 * out_limbs, _R, _R),
+            pl.BlockSpec((_TBF, c2 * out_limbs, TR, TC),
                          lambda b, d: (b, 0, 0, 0)))
     if _USE_MXU:
-        mdig, ew = _mxu_tables(ctx)
-        inputs += [ctx.twist, ctx.inv_twist, mdig, ew]
+        cdig, rdig, ew = _mxu_tables(ctx)
+        inputs += [cdig, rdig, ew]
         in_specs += [
-            pl.BlockSpec((P, _R, _R), lambda b, d: (0, 0, 0)),
-            pl.BlockSpec((P, _R, _R), lambda b, d: (0, 0, 0)),
-            pl.BlockSpec((P, 4, 3, _R, _R), lambda b, d: (0, 0, 0, 0, 0)),
-            pl.BlockSpec((P, 2, _R, _R), lambda b, d: (0, 0, 0, 0)),
+            pl.BlockSpec((P, 2, 3, _SL, _SL), lambda b, d: (0, 0, 0, 0, 0)),
+            pl.BlockSpec((P, 2, 3, _LN, _LN), lambda b, d: (0, 0, 0, 0, 0)),
+            pl.BlockSpec((P, 2, _SL, _LN), lambda b, d: (0, 0, 0, 0)),
         ]
     else:
         inputs += [ctx.twist, ctx.twA, ctx.twB, ctx.inv_twist, ctx.twAi,
@@ -919,10 +966,10 @@ def fused_external_fold_pallas(ctx: NTTPallasContext, x, keys_ntt,
                              has_base, sign, spectral_in=x_is_ntt),
         grid=(Bp // _TBF, digits),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((_TBF, c2 * out_limbs, _R, _R),
+        out_specs=pl.BlockSpec((_TBF, c2 * out_limbs, TR, TC),
                                lambda b, d: (b, 0, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((Bp, c2 * out_limbs, _R, _R), I32),
-        scratch_shapes=[pltpu.VMEM((_TBF, T, _R, _R), I32)],
+        out_shape=jax.ShapeDtypeStruct((Bp, c2 * out_limbs, TR, TC), I32),
+        scratch_shapes=[pltpu.VMEM((_TBF, T, TR, TC), I32)],
         interpret=interpret,
     )(*inputs)
     return out[:B].reshape(B, c2, out_limbs, n)
@@ -945,28 +992,28 @@ def fused_external_fold_batched(ctx: NTTPallasContext, x, keys_ntt,
     Lk = M // c2
     if digits > 1:
         assert T == c2 * out_limbs, "chained digits need T == C2*Lout"
-    x = x.reshape(A, B, T, _R, _R)
+    TR, TC = (_SL, _LN) if _USE_MXU else (_R, _R)
+    x = x.reshape(A, B, T, TR, TC)
     Bp = -(-B // _TBF) * _TBF
     if Bp != B:
         x = jnp.concatenate(
-            [x, jnp.zeros((A, Bp - B, T, _R, _R), dtype=x.dtype)], axis=1)
-    k7 = keys_ntt.reshape(A, P, digits, T, M, _R, _R)
+            [x, jnp.zeros((A, Bp - B, T, TR, TC), dtype=x.dtype)], axis=1)
+    k7 = keys_ntt.reshape(A, P, digits, T, M, TR, TC)
 
     Mo = c2 * out_limbs
     specs = [
-        pl.BlockSpec((None, _TBF, T, _R, _R),
+        pl.BlockSpec((None, _TBF, T, TR, TC),
                      lambda a, b, d: (a, b, 0, 0, 0)),
-        pl.BlockSpec((None, P, 1, T, M, _R, _R),
+        pl.BlockSpec((None, P, 1, T, M, TR, TC),
                      lambda a, b, d: (a, 0, d, 0, 0, 0, 0)),
     ]
     if _USE_MXU:
-        mdig, ew = _mxu_tables(ctx)
-        tables = [ctx.twist, ctx.inv_twist, mdig, ew]
+        cdig, rdig, ew = _mxu_tables(ctx)
+        tables = [cdig, rdig, ew]
         specs += [
-            pl.BlockSpec((P, _R, _R), lambda a, b, d: (0, 0, 0)),
-            pl.BlockSpec((P, _R, _R), lambda a, b, d: (0, 0, 0)),
-            pl.BlockSpec((P, 4, 3, _R, _R), lambda a, b, d: (0, 0, 0, 0, 0)),
-            pl.BlockSpec((P, 2, _R, _R), lambda a, b, d: (0, 0, 0, 0)),
+            pl.BlockSpec((P, 2, 3, _SL, _SL), lambda a, b, d: (0, 0, 0, 0, 0)),
+            pl.BlockSpec((P, 2, 3, _LN, _LN), lambda a, b, d: (0, 0, 0, 0, 0)),
+            pl.BlockSpec((P, 2, _SL, _LN), lambda a, b, d: (0, 0, 0, 0)),
         ]
     else:
         tables = [ctx.twist, ctx.twA, ctx.twB, ctx.inv_twist, ctx.twAi,
@@ -984,10 +1031,10 @@ def fused_external_fold_batched(ctx: NTTPallasContext, x, keys_ntt,
                              has_base=False, sign=1, dig_axis=2),
         grid=(A, Bp // _TBF, digits),
         in_specs=specs,
-        out_specs=pl.BlockSpec((None, _TBF, Mo, _R, _R),
+        out_specs=pl.BlockSpec((None, _TBF, Mo, TR, TC),
                                lambda a, b, d: (a, b, 0, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((A, Bp, Mo, _R, _R), I32),
-        scratch_shapes=[pltpu.VMEM((_TBF, T, _R, _R), I32)],
+        out_shape=jax.ShapeDtypeStruct((A, Bp, Mo, TR, TC), I32),
+        scratch_shapes=[pltpu.VMEM((_TBF, T, TR, TC), I32)],
         interpret=interpret,
     )(x, k7, *tables)
     return out[:, :B].reshape(A, B, c2, out_limbs, n)

@@ -38,10 +38,20 @@ def _rotate_tables(n: int, k: int):
 
 
 def rotate(x, k: int):
-    """Multiply by X^k (static k). x: int32[..., N]."""
+    """Multiply by X^k (static k). x: int32[..., N].
+
+    Lowered as slice+concat+negate, not a gather: a minor-dim scalar
+    gather serializes on TPU, while slices are plain copies."""
     n = x.shape[-1]
-    src, sign = _rotate_tables(n, k)
-    return jnp.take(x, jnp.asarray(src), axis=-1) * jnp.asarray(sign)
+    k = k % (2 * n)
+    neg = k >= n
+    k %= n
+    if k == 0:
+        return -x if neg else x
+    lo = -x[..., n - k :]
+    hi = x[..., : n - k]
+    out = jnp.concatenate([lo, hi], axis=-1)
+    return -out if neg else out
 
 
 @lru_cache(maxsize=None)

@@ -69,13 +69,18 @@ def main():
 
             return jax.jit(wrapped)
 
-        f1, fk = chain(1), chain(k)
-        np.asarray(f1(x0)); np.asarray(fk(x0))  # compile
-        t1 = min(_t(f1, x0) for _ in range(3))
-        tk = min(_t(fk, x0) for _ in range(3))
-        ms = (tk - t1) / (k - 1) * 1000.0
-        print(f"{name}: {ms:.2f} ms", flush=True)
-        return ms
+        try:
+            f1, fk = chain(1), chain(k)
+            np.asarray(f1(x0)); np.asarray(fk(x0))  # compile
+            t1 = min(_t(f1, x0) for _ in range(3))
+            tk = min(_t(fk, x0) for _ in range(3))
+            ms = (tk - t1) / (k - 1) * 1000.0
+            print(f"{name}: {ms:.2f} ms", flush=True)
+            return ms
+        except Exception as e:  # compile OOMs etc: keep probing the rest
+            print(f"{name}: SKIP ({type(e).__name__}: {str(e)[:200]})",
+                  flush=True)
+            return float("nan")
 
     def _t(f, x):
         t0 = time.perf_counter()
@@ -126,6 +131,21 @@ def main():
         return keyswitch.trace(par, ctx, x, atk)
 
     t_tr = measure("final trace (12 steps, W rows)", trace_fn, sel)
+
+    # ---- glue micro-ops: the XLA gathers between kernels (pack/trace)
+    from fhe_ram_tpu.ops import poly
+
+    def rot_fn(x):
+        return poly.rotate(x, 32)
+
+    measure("poly.rotate (gather) on pack level-5 shape", rot_fn, lvl0[:, :32])
+
+    g5 = (par.n >> 5) + 1
+    def auto_fn(x):
+        return poly.automorphism(x, g5)
+
+    measure("poly.automorphism (gather) on pack level-5 shape", auto_fn,
+            lvl0[:, :32])
 
     # ---- end-to-end read for comparison
     def read_fn(x):
