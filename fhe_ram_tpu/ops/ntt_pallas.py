@@ -310,11 +310,15 @@ def _mm_planes(x, mdig, p, ip, right: bool):
                     preferred_element_type=I32)
             w = i + j
             S[w] = pr if S[w] is None else S[w] + pr
-    y = S[0] + _mul_mod(S[1], np.int32(1 << 7), p, ip)
-    y = y + _mul_mod(S[2], _cent_const(1 << 14, p), p, ip)
-    y = y + _mul_mod(S[3], _cent_const(1 << 21, p), p, ip)
-    y = y + _mul_mod(S[4], _cent_const(1 << 28, p), p, ip)
-    return _reduce(y, p, ip).reshape(lead + x.shape[-2:])
+    # Horner recombination: y = ((((S4*2^7 + S3) mod p)*2^7 + S2) ...)
+    # -- each step is one shift+add+Barrett instead of a full mul_mod
+    # with a 2^(7w) constant.  Exact: |S_w| <= 3*128*123^2 <= 2^22.5,
+    # reduced partials <= 0.501p <= 2^18.6, so every H = r*128 + S_w
+    # stays <= 2^25.7 + 2^22.5 < 2^31.
+    y = S[4]
+    for w in (3, 2, 1, 0):
+        y = _reduce((y << 7) + S[w], p, ip)
+    return y.reshape(lead + x.shape[-2:])
 
 
 def _fwd_tile_mxu(x, cdig_p, rdig_p, ew_p, p, ip):
@@ -664,9 +668,10 @@ def fused_external_pallas(ctx: NTTPallasContext, x, keys_ntt,
 # (a whole 4-digit key block plus double buffering was a 19.5 MB scoped
 # VMEM allocation -- over the 16 MB limit).
 
-_TBF = 2  # ct rows per grid step (v2 kernel; 4 exceeds scoped VMEM on
-# both paths -- the MXU path's tables are smaller but its batched
-# inverse transform keeps all M spectral tiles live)
+# ct rows per grid step (v2 kernel).  4 exceeded scoped VMEM with the
+# 64x64 stage-pipeline tables; the MXU path's tables are smaller, so
+# the default is worth re-probing per hardware generation.
+_TBF = int(os.environ.get("FHERAM_TBF", "2"))
 
 
 def _to_canonical_k(x, p):
@@ -757,17 +762,39 @@ def _fold_kernel_factory(primes, T: int, C2: int, Lk: int, Lout: int,
         # VMP (all output polys), then ONE batched inverse NTT per prime:
         # per-m inverse transforms would run the MXU at batch TBF --
         # latency-bound for small kernels (trace steps measured 2.5x
-        # slower that way)
+        # slower that way).
+        #
+        # Delayed-reduction VMP: the data operand is split ONCE per
+        # digit t into a 10-bit low part and the high rest (hoisted out
+        # of the m loop), and the raw int32 cross-products accumulate
+        # WITHOUT per-term Barrett reductions; each group of <= _VG
+        # terms is folded with one Barrett pair + one mul_mod.  Exact:
+        # |x| <= 0.502p (p <= 786433) gives |a1| <= 386, |a0| <= 512,
+        # |k| <= 0.502p, so group sums stay <= 10*512*0.502p = 2.03e9
+        # < 2^31.  Replaces a full mul_mod (~15 VPU ops) per (t, m)
+        # term with 2 mults + 2 adds.
+        _VG = 10
         rsb = []  # per prime: [TBF, M, R, R]
         for p in range(P):
+            xs = specs[p]
+            a1 = (xs + 512) >> 10
+            a0 = xs - (a1 << 10)
+            c10 = cent(1 << 10, primes[p])
             vs = []
             for m in range(M):
-                s = None
-                for t in range(T):
-                    term = _mul_mod(specs[p][:, t], k_ref[p, 0, t, m][None],
-                                    pp[p], ip[p])
-                    s = term if s is None else s + term
-                vs.append(_reduce(s, pp[p], ip[p]))
+                g_acc = None
+                for t0 in range(0, T, _VG):
+                    sh = sl = None
+                    for t in range(t0, min(t0 + _VG, T)):
+                        kk = k_ref[p, 0, t, m][None]
+                        ph = a1[:, t] * kk
+                        pl_ = a0[:, t] * kk
+                        sh = ph if sh is None else sh + ph
+                        sl = pl_ if sl is None else sl + pl_
+                    g = _mul_mod(_reduce(sh, pp[p], ip[p]), c10,
+                                 pp[p], ip[p]) + _reduce(sl, pp[p], ip[p])
+                    g_acc = g if g_acc is None else g_acc + g
+                vs.append(_reduce(g_acc, pp[p], ip[p]))
             y = jnp.stack(vs, axis=1)
             if _USE_MXU:
                 rsb.append(_inv_tile_mxu(y, cdig_ref[p], rdig_ref[p],

@@ -145,19 +145,47 @@ def read_impl(params: Params, ctx: NTTContext, data, coords, atk):
     return keyswitch.trace(params, ctx, cur, atk)  # [W, C, L, N]
 
 
+# addresses per batched-read slice: the level-0 intermediate is
+# [B, W, R, C, L, N] (~100 MB per address at 2^18), so one slice of 64
+# is near the single-chip HBM sweet spot (measured: B=256 unsliced
+# OOMs; B=64 runs at 104 reads/s); larger batches run slices
+# sequentially under lax.map at the per-slice rate
+_BATCH_CHUNK = 64
+
+
 def read_batch_impl(params: Params, ctx: NTTContext, data, coords_b, atk):
     """Batched encrypted read at B addresses (BASELINE config 3; the
     reference has no batched path).  coords_b: tuple of stacked prepared
-    coordinates, leading axis B.
+    coordinates, leading axis B.  B > _BATCH_CHUNK is processed in
+    HBM-bounded slices (sequential lax.map, see _chunked_product note).
 
     Amortizes address-independent work instead of vmapping read_impl
     (round-1 finding: plain vmap REGRESSES -- transient blowup):
       * the level-0 forward NTT of the RAM's gadget digits runs ONCE
-        per batch (shared spectral input to the fold kernel);
+        per batch slice (shared spectral input to the fold kernel);
       * upper-level CMux chains run with per-address keys in one
         batch-gridded kernel launch instead of B separate dispatches;
       * pack and trace run with the batch folded into the row axis
         (B*W rows per kernel call instead of W)."""
+    B = coords_b[0].shape[0]
+    k = _BATCH_CHUNK
+    if B > k:
+        nfull = B // k
+        parts = []
+        sl = tuple(c[: nfull * k].reshape((nfull, k) + c.shape[1:])
+                   for c in coords_b)
+        outs = jax.lax.map(
+            lambda cs: _read_batch_slice(params, ctx, data, cs, atk), sl)
+        parts.append(outs.reshape((nfull * k,) + outs.shape[2:]))
+        if B % k:
+            parts.append(_read_batch_slice(
+                params, ctx, data,
+                tuple(c[nfull * k :] for c in coords_b), atk))
+        return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+    return _read_batch_slice(params, ctx, data, coords_b, atk)
+
+
+def _read_batch_slice(params: Params, ctx: NTTContext, data, coords_b, atk):
     n2 = len(coords_b)
     B = coords_b[0].shape[0]
     W = data.shape[0]

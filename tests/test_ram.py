@@ -73,6 +73,31 @@ def test_read_batch_matches_single(par):
                    f"batch idx={idx}")
 
 
+def test_read_batch_sliced(monkeypatch):
+    """B > _BATCH_CHUNK runs HBM-bounded slices (full lax.map slices +
+    a remainder call) and must decode identically."""
+    par = PARAMS_TEST_SMALL
+    ctx, src, s_ntt, server = build(par, seed=10)
+    rnd = np.random.default_rng(17)
+    data = rnd.integers(0, 256, size=par.max_addr * par.word_size).astype(np.uint8)
+    ram_ct = ram_mod.encrypt_ram(par, ctx, s_ntt, data, src)
+
+    monkeypatch.setattr(ram_mod, "_BATCH_CHUNK", 2)
+    idxs = [0, 1, par.max_addr - 1, int(rnd.integers(0, par.max_addr)),
+            par.max_addr // 2]  # 2 full slices + remainder of 1
+    aps = [address_mod.prepare(ctx, address_mod.encrypt(par, ctx, s_ntt, i, src))
+           for i in idxs]
+    coords_b = tuple(
+        jnp.stack([a.coordinates[j] for a in aps], axis=0)
+        for j in range(len(aps[0].coordinates)))
+
+    outs = server.read_batch(server.init_state(ram_ct), coords_b)
+    assert outs.shape[0] == len(idxs)
+    for b, idx in enumerate(idxs):
+        check_word(par, ctx, s_ntt, np.asarray(outs[b]), data, idx,
+                   f"sliced batch idx={idx}")
+
+
 @pytest.mark.parametrize("par", [PARAMS_TEST_FLAT, PARAMS_TEST_SMALL],
                          ids=["flat_n2_1", "tree_n2_2"])
 def test_read_write_cycle(par):

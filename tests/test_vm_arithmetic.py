@@ -106,18 +106,27 @@ def test_select_store_all_combinations():
     yw = fheuint.encrypt_word(PV, ctxv, s_ntt, y, src, B32)
 
     def model_store(off, op):
+        # reference expectation table (src/store.rs:297-311): invalid
+        # (offset, op) combinations -- SH at odd offset, SW at offset>0 --
+        # must decrypt to 0, not wrap or alias
         bx = x.to_bytes(4, "little")
         by = y.to_bytes(4, "little")
         out = bytearray(by)
         if op == 1:  # SB
             out[off] = bx[0]
         elif op == 2:  # SH
+            if off not in (0, 2):
+                return 0
             out[off : off + 2] = bx[0:2]
         elif op == 3:  # SW
+            if off != 0:
+                return 0
             out[:] = bx
         return int.from_bytes(bytes(out), "little")
 
-    for off, op in [(0, 0), (0, 1), (0, 2), (0, 3), (1, 1), (2, 1), (2, 2), (3, 1)]:
+    # the FULL 4x4 (offset, op) product, like the reference's nested
+    # loops (src/store.rs:277-331)
+    for off, op in [(o, p) for o in range(4) for p in range(4)]:
         offp = fheuint.encrypt_prepared(PV, ctxv, s_ntt, off, src, B32)
         opp = fheuint.encrypt_prepared(PV, ctxv, s_ntt, op, src, B32)
         sel = store.select_store(PV, ctxv, xw, yw, offp, opp, ekp.atk_glwe, B32)
