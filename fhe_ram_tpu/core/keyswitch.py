@@ -169,7 +169,76 @@ def trace(params: Params, ctx: NTTContext, ct, auto_keys_ntt: dict,
         ct = limb_ops.shift_right(ct, s)
         shift -= s
     ct = limb_ops.normalize(ct)
-    for g in params.trace_gal_els[:steps]:
+    return trace_steps(params, ctx, ct, auto_keys_ntt,
+                       params.trace_gal_els[:steps])
+
+
+def trace_steps(params: Params, ctx: NTTContext, ct, auto_keys_ntt: dict,
+                gals):
+    """The division-free trace iteration ct <- normalize(ct +
+    KS(sigma_g(ct))) for each g in gals, WITHOUT the up-front 1/2^steps
+    pre-scale (callers pre-scale once; see trace()).
+
+    On the pallas/MXU path the whole chain runs in ONE kernel launch:
+    sequential grid over the steps, ct limbs resident in VMEM scratch,
+    automorphisms applied in-kernel (ops/ntt_pallas.fused_trace_pallas)."""
+    if not gals:
+        return ct
+    from ..ops import ntt as ntt_mod
+
+    if ntt_mod.get_backend() == "pallas" and params.n == 4096:
+        from ..ops import ntt_pallas
+
+        if ntt_pallas._USE_MXU:
+            pctx = ntt_pallas.get_pallas_context(params.n, ctx.primes)
+            lead = ct.shape[:-3]
+            ct2 = ct.reshape((-1,) + ct.shape[-3:])
+            P, D, rank, C2, Lk, n = auto_keys_ntt[gals[0]].shape
+            keys = jnp.stack(
+                [jnp.transpose(auto_keys_ntt[g], (0, 2, 1, 3, 4, 5))
+                 .reshape(P, rank * D, C2 * Lk, n) for g in gals], axis=0)
+            out = ntt_pallas.fused_trace_pallas(pctx, ct2, keys, tuple(gals))
+            return out.reshape(lead + out.shape[1:])
+
+    for g in gals:
         ct = automorphism_ks(params, ctx, ct, g, auto_keys_ntt[g],
                              out_limbs=ct.shape[-2], base_add=ct)
     return ct
+
+
+def extract_slots(params: Params, ctx: NTTContext, ct, count: int,
+                  auto_keys_ntt: dict):
+    """All-slot extraction: out[..., m, :, :, :] = trace(X^-m ct) for
+    m in [0, count), i.e. per slot an encryption of [slot_m(ct), 0...].
+
+    Binary split tree instead of a rotate-stack + batched full trace:
+    since sigma_{g_l} commutes with X^{-2^j} for every j > l
+    (g_l * 2^j = 2^j mod 2N), trace(X^-m ct) = prod_l (1 + sigma_{g_l})
+    X^{-m_l 2^l} (ct/N), so level l of the tree branches on bit l of m
+    and the remaining log_n - log2(count) steps run once per leaf.
+    Keyswitch count ~ 2*count + count*(log_n - log2(count)) vs the
+    rotate-stack's count*log_n (1.5x less at count=64, log_n=12); the
+    reference instead walks slots sequentially with per-slot double
+    traces (src/ram.rs:612-630).
+
+    Noise: every leaf still passes through exactly log_n keyswitches
+    after the single 1/N pre-scale -- the bound of core/noise.py's
+    trace model is unchanged."""
+    n = params.n
+    s = max(count - 1, 0).bit_length()  # ceil(log2(count))
+    assert (1 << s) <= n
+    shift = params.log_n
+    x = ct
+    while shift > 0:
+        step = min(shift, params.base2k - 1)
+        x = limb_ops.shift_right(x, step)
+        shift -= step
+    nodes = limb_ops.normalize(x)[..., None, :, :, :]
+    gals = params.trace_gal_els
+    for l in range(s):
+        rot = poly.rotate(nodes, -(1 << l))
+        both = jnp.concatenate([nodes, rot], axis=-4)
+        nodes = trace_steps(params, ctx, both, auto_keys_ntt, (gals[l],))
+    out = trace_steps(params, ctx, nodes, auto_keys_ntt,
+                      gals[s : params.log_n])
+    return out[..., :count, :, :, :]

@@ -53,6 +53,37 @@ I32 = jnp.int32
 _KS_CHUNK = 4096
 
 
+def _merge_level(params: Params, ctx: NTTContext, A, B, t: int, g: int,
+                 key_ntt):
+    """One batched merge: normalize(A + X^t B + KS(sigma_g(A - X^t B))).
+
+    On the pallas/MXU path the rotate, u/v combination, and automorphism
+    all run inside the keyswitch kernel (ops/ntt_pallas.py
+    fused_pack_merge_pallas); otherwise composed XLA glue +
+    automorphism_ks."""
+    from ..ops import ntt as ntt_mod
+
+    if ntt_mod.get_backend() == "pallas" and params.n == 4096:
+        from ..ops import ntt_pallas
+
+        if ntt_pallas._USE_MXU:
+            pctx = ntt_pallas.get_pallas_context(params.n, ctx.primes)
+            lead = A.shape[:-3]
+            A2 = A.reshape((-1,) + A.shape[-3:])
+            B2 = B.reshape(A2.shape)
+            P, D, rank, C2, Lk, n = key_ntt.shape
+            k2 = jnp.transpose(key_ntt, (0, 2, 1, 3, 4, 5)).reshape(
+                P, rank * D, C2 * Lk, n)
+            out = ntt_pallas.fused_pack_merge_pallas(pctx, A2, B2, t, g, k2)
+            return out.reshape(lead + out.shape[1:])
+
+    xb = poly.rotate(B, t)
+    u = A + xb
+    v = A - xb
+    return keyswitch.automorphism_ks(params, ctx, v, g, key_ntt,
+                                     out_limbs=v.shape[-2], base_add=u)
+
+
 def pack(params: Params, ctx: NTTContext, cts, auto_keys_ntt: dict):
     """Pack cts[M, ..., C, L, N] (slot-0 values v_m) into one ct whose
     coefficient m equals v_m for all m < M.  M must be a power of two
@@ -71,28 +102,22 @@ def pack(params: Params, ctx: NTTContext, cts, auto_keys_ntt: dict):
         g = (n >> l) + 1
         A = cts[:t]
         B = cts[t : 2 * t]
-        xb = poly.rotate(B, t)
-        u = A + xb
-        v = A - xb
-        # keyswitch in bounded slices: at huge geometries (2^24: first
-        # merge level has 2048x4 pairs) a single batched keyswitch's
-        # transient conv tensors would blow HBM
-        nb = int(np.prod(v.shape[:-3]))
+        # merge in bounded slices: at huge geometries (2^24: first merge
+        # level has 2048x4 pairs) a single batched keyswitch's transient
+        # staging tensors would blow HBM
+        nb = int(np.prod(A.shape[:-3]))
         if nb <= _KS_CHUNK:
-            # fused: cts = normalize(u + KS(sigma_g(v)))
-            cts = keyswitch.automorphism_ks(params, ctx, v, g, auto_keys_ntt[g],
-                                            out_limbs=v.shape[-2], base_add=u)
+            cts = _merge_level(params, ctx, A, B, t, g, auto_keys_ntt[g])
         else:
             # sequential lax.map slices (see ram._chunked_product note)
-            step = max(1, _KS_CHUNK // max(1, nb // v.shape[0]))
-            step = 1 << (step.bit_length() - 1)  # v.shape[0] is a power of 2
-            step = min(step, v.shape[0])
-            sliced = v.reshape(v.shape[0] // step, step, *v.shape[1:])
-            ub = u.reshape(sliced.shape)
+            step = max(1, _KS_CHUNK // max(1, nb // A.shape[0]))
+            step = 1 << (step.bit_length() - 1)  # A.shape[0] is a power of 2
+            step = min(step, A.shape[0])
+            sliced_a = A.reshape(A.shape[0] // step, step, *A.shape[1:])
+            sliced_b = B.reshape(sliced_a.shape)
             cts = jax.lax.map(
-                lambda s: keyswitch.automorphism_ks(
-                    params, ctx, s[0], g, auto_keys_ntt[g],
-                    out_limbs=v.shape[-2], base_add=s[1]),
-                (sliced, ub))
-            cts = cts.reshape(v.shape)
+                lambda s: _merge_level(params, ctx, s[0], s[1], t, g,
+                                       auto_keys_ntt[g]),
+                (sliced_a, sliced_b))
+            cts = cts.reshape(A.shape)
     return cts[0]

@@ -680,6 +680,254 @@ def _to_canonical_k(x, p):
     return jnp.where(x < -half, x + p, x)
 
 
+def _cent_np(v, p):
+    v = int(v) % int(p)
+    return np.int32(v - p if v > p // 2 else v)
+
+
+# --------------------------------------------------------------------------
+# in-kernel signed coefficient permutations (rotations / automorphisms)
+# --------------------------------------------------------------------------
+#
+# Any map X^k -> +-X^{(g*k + t) mod 2N} (g odd: all galois automorphisms
+# sigma_g at t=0, all rotations X^t at g=1) factors on the 32x128
+# coefficient tile (k = 128*i + j):
+#
+#     lane:    j' = (g*j + t) mod 128            -- depends only on j
+#     sublane: i' = (g*i mod 32) + h(j) mod 32,  h(j) = ((g*j+t) mod N)//128
+#
+# i.e. ONE 128x128 lane-permutation matmul + ONE 32x32 sublane-
+# permutation matmul (both exact int8 on the digit planes) + <=5
+# mask-conditional sublane rolls (binary decomposition of the
+# destination-lane-indexed offset h) + a destination-indexed sign table.
+# This is what lets whole automorphism-keyswitch CHAINS (trace, packing
+# merges) run inside one kernel: the reference applies automorphisms as
+# host-side vector permutes between calls (poulpy GLWEAutomorphismKey
+# application, consumed at src/ram.rs:457,629).
+
+@lru_cache(maxsize=None)
+def _perm_tile_tables(n: int, g: int, t: int):
+    """Tables for X^k -> sign * X^{(g*k + t) mod 2N} on [32, 128] tiles.
+
+    Returns numpy (PL int8[128,128], PS int8[32,32], WM int32[5,1,128],
+    SIGN int32[32,128])."""
+    assert n == _SL * _LN, "perm tiles are wired for N=4096"
+    g = g % (2 * n)
+    t = t % (2 * n)
+    assert g % 2 == 1, "galois element must be odd"
+    k = np.arange(n)
+    d2 = (g * k + t) % (2 * n)
+    pos = d2 % n
+    sgn = np.where(d2 < n, 1, -1).astype(np.int64)
+    i_dst = pos // _LN
+    j_dst = pos % _LN
+    j = np.arange(_LN)
+    q = (g * j + t) % n
+    jmap = q % _LN
+    h = (q // _LN) % _SL
+    i = np.arange(_SL)
+    imap = (g * i) % _SL
+    # structure guards (the factorization is exact by construction)
+    assert np.array_equal(j_dst, jmap[k % _LN])
+    assert np.array_equal(i_dst, (imap[k // _LN] + h[k % _LN]) % _SL)
+    PL = np.zeros((_LN, _LN), np.int8)
+    PL[j, jmap] = 1
+    PS = np.zeros((_SL, _SL), np.int8)
+    PS[imap, i] = 1
+    w = np.zeros(_LN, np.int64)
+    w[jmap] = h
+    WM = np.stack([(w >> b) & 1 for b in range(5)]).astype(np.int32)
+    WM = np.ascontiguousarray(WM.reshape(5, 1, _LN))
+    SIGN = np.zeros((_SL, _LN), np.int64)
+    SIGN[i_dst, j_dst] = sgn
+    return PL, PS, WM, np.ascontiguousarray(SIGN.astype(np.int32))
+
+
+def _perm_apply(x, pl_t, ps_t, wm, sign):
+    """Apply a signed tile permutation in-kernel (exact).
+
+    x: int32[..., 32, 128] with |x| <= 2^20.9; pl_t int8[128,128],
+    ps_t int8[32,32], wm int32[5,1,128], sign int32[32,128]
+    (_perm_tile_tables layout)."""
+    lead = x.shape[:-2]
+    x2 = x.reshape((-1, _SL, _LN))
+    B = x2.shape[0]
+    planes = _split3_i8(x2)
+    plb = jnp.broadcast_to(pl_t, (B,) + pl_t.shape)
+    psb = jnp.broadcast_to(ps_t, (B,) + ps_t.shape)
+    outs = []
+    for d in planes:
+        y = jax.lax.dot_general(d, plb, (((2,), (1,)), ((0,), (0,))),
+                                preferred_element_type=I32)
+        y = jax.lax.dot_general(psb, y.astype(I8),
+                                (((2,), (1,)), ((0,), (0,))),
+                                preferred_element_type=I32)
+        outs.append(y)
+    # exact recombination: permutations preserve plane values
+    y = outs[0] + (outs[1] << 7) + (outs[2] << 14)
+    # destination-lane-conditional sublane rolls: bit b of the offset
+    for b in range(5):
+        rolled = pltpu.roll(y, 1 << b, 1)
+        y = jnp.where(wm[b][None] != 0, rolled, y)
+    return (y * sign[None]).reshape(x.shape)
+
+
+# shared kernel-body helpers (used by the fold, trace-chain, and
+# pack-level kernels)
+
+def _vmp_invntt(specs, kfun, T: int, M: int, primes, inv_fn):
+    """Delayed-reduction VMP + ONE batched inverse transform per prime.
+
+    specs: per prime [B, T, SL, LN] spectral digits (|x| <= 0.502p);
+    kfun(p, t, m) -> [SL, LN] spectral key tile; inv_fn(p, y) applies the
+    inverse tile NTT to y [B, M, SL, LN].  Returns per prime
+    [B, M, SL, LN] coefficient-domain conv residues.
+
+    The data operand is split ONCE per digit t into a 10-bit low part
+    and the high rest (hoisted out of the m loop), raw int32
+    cross-products accumulate WITHOUT per-term Barrett reductions, and
+    each group of <= 10 terms folds with one Barrett pair.  Exact:
+    |x| <= 0.502p (p <= 786433) gives |a1| <= 386, |a0| <= 512, so group
+    sums stay <= 10*512*0.502p = 2.03e9 < 2^31."""
+    _VGl = 10
+    rsb = []
+    for p in range(len(primes)):
+        pp = np.int32(primes[p])
+        ipv = np.float32(1.0 / primes[p])
+        xs = specs[p]
+        a1 = (xs + 512) >> 10
+        a0 = xs - (a1 << 10)
+        c10 = _cent_np(1 << 10, primes[p])
+        vs = []
+        for m in range(M):
+            g_acc = None
+            for t0 in range(0, T, _VGl):
+                sh = sl = None
+                for t in range(t0, min(t0 + _VGl, T)):
+                    kk = kfun(p, t, m)[None]
+                    ph = a1[:, t] * kk
+                    pl_ = a0[:, t] * kk
+                    sh = ph if sh is None else sh + ph
+                    sl = pl_ if sl is None else sl + pl_
+                gg = _mul_mod(_reduce(sh, pp, ipv), c10,
+                              pp, ipv) + _reduce(sl, pp, ipv)
+                g_acc = gg if g_acc is None else g_acc + gg
+            vs.append(_reduce(g_acc, pp, ipv))
+        y = jnp.stack(vs, axis=1)
+        rsb.append(inv_fn(p, y))
+    return rsb
+
+
+def _garner_fold_acc(rsb, primes, C2: int, Lk: int, Lout: int,
+                     base2k: int = 17):
+    """Exact CRT fold of per-prime conv residues into RAW output-limb
+    accumulators (pre-normalize).  rsb: per prime [B, M, SL, LN] with
+    M = C2*Lk, row-major over (c2, key limb).  Returns acc[C2][Lout] of
+    (None | int32[B, SL, LN])."""
+    P = len(primes)
+    assert P == 3, "garner fold wired for 3 primes"
+    M = C2 * Lk
+    g = garner_consts(tuple(primes))
+    p1, p2, p3 = primes
+    pp = [np.int32(q) for q in primes]
+    ip = [np.float32(1.0 / q) for q in primes]
+    c12 = _cent_np(g["c12"], p2)
+    c123 = _cent_np(g["c123"], p3)
+    p1m3 = _cent_np(g["p1_mod_p3"], p3)
+    p1_digits = g["p1_digits"]
+    p1p2_digits = g["p1p2_digits"]
+    ndig = 8  # base-2^9 digits covering the integer range (ops/crt.py)
+    half9 = 1 << 8
+    mask9 = (1 << 9) - 1
+
+    acc = [[None] * Lout for _ in range(C2)]
+    for m in range(M):
+        rs = [rsb[p][:, m] for p in range(P)]
+
+        # balanced Garner mixed-radix digits (ops/crt.py semantics)
+        v1 = _to_canonical_k(rs[0], pp[0])
+        v2 = _to_canonical_k(
+            _mul_mod(rs[1] - v1, c12, pp[1], ip[1]), pp[1])
+        tt = _to_canonical_k(_mul_mod(v2, p1m3, pp[2], ip[2]), pp[2])
+        v3 = _to_canonical_k(
+            _mul_mod(rs[2] - v1 - tt, c123, pp[2], ip[2]), pp[2])
+
+        # expand into balanced base-2^9 digits
+        cols = [None] * ndig
+        cols[0] = v1
+        for j, c in enumerate(p1_digits):
+            if c:
+                add = np.int32(c) * v2
+                cols[j] = add if cols[j] is None else cols[j] + add
+        for j, c in enumerate(p1p2_digits):
+            if c:
+                add = np.int32(c) * v3
+                cols[j] = add if cols[j] is None else cols[j] + add
+        d9 = []
+        carry = None
+        for k in range(ndig):
+            t9 = cols[k] if cols[k] is not None else None
+            if carry is not None:
+                t9 = carry if t9 is None else t9 + carry
+            if t9 is None:
+                d9.append(None)
+                carry = None
+                continue
+            d = ((t9 + half9) & mask9) - half9
+            carry = (t9 - d) >> 9
+            d9.append(d)
+
+        # fold into the output limb accumulator
+        c2i, lk = m // Lk, m % Lk
+        w = base2k * (lk + 1)
+        for k, d in enumerate(d9):
+            if d is None:
+                continue
+            e = 9 * k - w
+            if e >= 0:
+                continue
+            tl = (-e - 1) // base2k
+            if tl >= Lout:
+                continue
+            s9 = e + base2k * (tl + 1)
+            add = d << s9 if s9 else d
+            if acc[c2i][tl] is None:
+                acc[c2i][tl] = add
+            else:
+                acc[c2i][tl] = acc[c2i][tl] + add
+    return acc
+
+
+def _carry_normalize(acc, base_fn, sign: int, zero, base2k: int = 17):
+    """Balanced carry-propagate normalize over the limb axis.
+
+    acc: acc[C2][Lout] raw limb accumulators (None = zero);
+    base_fn(c2i, l) -> tile added before the normalize (or None).
+    Returns a flat list of C2*Lout normalized limb tiles."""
+    halfb = 1 << (base2k - 1)
+    maskb = (1 << base2k) - 1
+    outs = []
+    for c2i in range(len(acc)):
+        lim = []
+        carry = None
+        for l in range(len(acc[c2i]) - 1, -1, -1):
+            t = acc[c2i][l]
+            t = zero if t is None else t
+            if sign < 0:
+                t = -t
+            b = base_fn(c2i, l)
+            if b is not None:
+                t = t + b
+            if carry is not None:
+                t = t + carry
+            d = ((t + halfb) & maskb) - halfb
+            carry = (t - d) >> base2k
+            lim.append(d)
+        lim.reverse()
+        outs.extend(lim)
+    return outs
+
+
 def _fold_kernel_factory(primes, T: int, C2: int, Lk: int, Lout: int,
                          digits: int, has_base: bool, sign: int,
                          spectral_in: bool = False, dig_axis: int = 1,
@@ -687,22 +935,6 @@ def _fold_kernel_factory(primes, T: int, C2: int, Lk: int, Lout: int,
     P = len(primes)
     assert P == 3, "fold kernel wired for 3 primes"
     M = C2 * Lk
-    g = garner_consts(tuple(primes))
-    p1, p2, p3 = primes
-
-    def cent(v, p):
-        return np.int32(v - p if v > p // 2 else v)
-
-    c12 = cent(g["c12"], p2)
-    c123 = cent(g["c123"], p3)
-    p1m3 = cent(g["p1_mod_p3"], p3)
-    p1_digits = g["p1_digits"]
-    p1p2_digits = g["p1p2_digits"]
-    ndig = 8  # base-2^9 digits covering the integer range (ops/crt.py)
-    half9 = 1 << 8
-    mask9 = (1 << 9) - 1
-    halfb = 1 << (base2k - 1)
-    maskb = (1 << base2k) - 1
 
     def kernel(*refs):
         if _USE_MXU:
@@ -762,129 +994,35 @@ def _fold_kernel_factory(primes, T: int, C2: int, Lk: int, Lout: int,
         # VMP (all output polys), then ONE batched inverse NTT per prime:
         # per-m inverse transforms would run the MXU at batch TBF --
         # latency-bound for small kernels (trace steps measured 2.5x
-        # slower that way).
-        #
-        # Delayed-reduction VMP: the data operand is split ONCE per
-        # digit t into a 10-bit low part and the high rest (hoisted out
-        # of the m loop), and the raw int32 cross-products accumulate
-        # WITHOUT per-term Barrett reductions; each group of <= _VG
-        # terms is folded with one Barrett pair + one mul_mod.  Exact:
-        # |x| <= 0.502p (p <= 786433) gives |a1| <= 386, |a0| <= 512,
-        # |k| <= 0.502p, so group sums stay <= 10*512*0.502p = 2.03e9
-        # < 2^31.  Replaces a full mul_mod (~15 VPU ops) per (t, m)
-        # term with 2 mults + 2 adds.
-        _VG = 10
-        rsb = []  # per prime: [TBF, M, R, R]
-        for p in range(P):
-            xs = specs[p]
-            a1 = (xs + 512) >> 10
-            a0 = xs - (a1 << 10)
-            c10 = cent(1 << 10, primes[p])
-            vs = []
-            for m in range(M):
-                g_acc = None
-                for t0 in range(0, T, _VG):
-                    sh = sl = None
-                    for t in range(t0, min(t0 + _VG, T)):
-                        kk = k_ref[p, 0, t, m][None]
-                        ph = a1[:, t] * kk
-                        pl_ = a0[:, t] * kk
-                        sh = ph if sh is None else sh + ph
-                        sl = pl_ if sl is None else sl + pl_
-                    g = _mul_mod(_reduce(sh, pp[p], ip[p]), c10,
-                                 pp[p], ip[p]) + _reduce(sl, pp[p], ip[p])
-                    g_acc = g if g_acc is None else g_acc + g
-                vs.append(_reduce(g_acc, pp[p], ip[p]))
-            y = jnp.stack(vs, axis=1)
-            if _USE_MXU:
-                rsb.append(_inv_tile_mxu(y, cdig_ref[p], rdig_ref[p],
-                                         ew_ref[p], pp[p], ip[p]))
-                continue
-            for si in range(6):
-                y = _dit_stage(y, 1 << si, twBi_ref[p, 5 - si], pp[p], ip[p])
-            y = jnp.swapaxes(y, -1, -2)
-            for si in range(6):
-                y = _dit_stage(y, 1 << si, twAi_ref[p, 5 - si], pp[p], ip[p])
-            rsb.append(_mul_mod(y, itwist_ref[p][None, None], pp[p], ip[p]))
+        # slower that way).  Delayed-reduction trick + exactness bounds:
+        # see _vmp_invntt.
+        if _USE_MXU:
+            def inv_fn(p, y):
+                return _inv_tile_mxu(y, cdig_ref[p], rdig_ref[p],
+                                     ew_ref[p], pp[p], ip[p])
+        else:
+            def inv_fn(p, y):
+                for si in range(6):
+                    y = _dit_stage(y, 1 << si, twBi_ref[p, 5 - si],
+                                   pp[p], ip[p])
+                y = jnp.swapaxes(y, -1, -2)
+                for si in range(6):
+                    y = _dit_stage(y, 1 << si, twAi_ref[p, 5 - si],
+                                   pp[p], ip[p])
+                return _mul_mod(y, itwist_ref[p][None, None], pp[p], ip[p])
 
-        # exact CRT fold, per output poly m
-        acc = [[None] * Lout for _ in range(C2)]
-        for m in range(M):
-            rs = [rsb[p][:, m] for p in range(P)]
+        rsb = _vmp_invntt(specs, lambda p, t, m: k_ref[p, 0, t, m],
+                          T, M, primes, inv_fn)  # per prime [TBF, M, R, R]
 
-            # balanced Garner mixed-radix digits (ops/crt.py semantics)
-            v1 = _to_canonical_k(rs[0], pp[0])
-            v2 = _to_canonical_k(
-                _mul_mod(rs[1] - v1, c12, pp[1], ip[1]), pp[1])
-            tt = _to_canonical_k(_mul_mod(v2, p1m3, pp[2], ip[2]), pp[2])
-            v3 = _to_canonical_k(
-                _mul_mod(rs[2] - v1 - tt, c123, pp[2], ip[2]), pp[2])
-
-            # expand into balanced base-2^9 digits
-            cols = [None] * ndig
-            cols[0] = v1
-            for j, c in enumerate(p1_digits):
-                if c:
-                    add = np.int32(c) * v2
-                    cols[j] = add if cols[j] is None else cols[j] + add
-            for j, c in enumerate(p1p2_digits):
-                if c:
-                    add = np.int32(c) * v3
-                    cols[j] = add if cols[j] is None else cols[j] + add
-            d9 = []
-            carry = None
-            for k in range(ndig):
-                t9 = cols[k] if cols[k] is not None else None
-                if carry is not None:
-                    t9 = carry if t9 is None else t9 + carry
-                if t9 is None:
-                    d9.append(None)
-                    carry = None
-                    continue
-                d = ((t9 + half9) & mask9) - half9
-                carry = (t9 - d) >> 9
-                d9.append(d)
-
-            # fold into the output limb accumulator
-            c2i, lk = m // Lk, m % Lk
-            w = base2k * (lk + 1)
-            for k, d in enumerate(d9):
-                if d is None:
-                    continue
-                e = 9 * k - w
-                if e >= 0:
-                    continue
-                tl = (-e - 1) // base2k
-                if tl >= Lout:
-                    continue
-                s9 = e + base2k * (tl + 1)
-                add = d << s9 if s9 else d
-                if acc[c2i][tl] is None:
-                    acc[c2i][tl] = add
-                else:
-                    acc[c2i][tl] = acc[c2i][tl] + add
-
+        # exact CRT fold into raw limb accumulators, then one normalize
+        acc = _garner_fold_acc(rsb, primes, C2, Lk, Lout, base2k)
         if has_base:
             base = base_ref[...]  # [TBF, C2*Lout, R, R]
-        outs = []
-        for c2i in range(C2):
-            # balanced carry-propagate normalize over the limb axis
-            lim = []
-            carry = None
-            for l in range(Lout - 1, -1, -1):
-                t = acc[c2i][l]
-                t = jnp.zeros_like(specs[0][:, 0]) if t is None else t
-                if sign < 0:
-                    t = -t
-                if has_base:
-                    t = t + base[:, c2i * Lout + l]
-                if carry is not None:
-                    t = t + carry
-                d = ((t + halfb) & maskb) - halfb
-                carry = (t - d) >> base2k
-                lim.append(d)
-            lim.reverse()
-            outs.extend(lim)
+            base_fn = lambda c2i, l: base[:, c2i * Lout + l]
+        else:
+            base_fn = lambda c2i, l: None
+        zero = jnp.zeros_like(specs[0][:, 0])
+        outs = _carry_normalize(acc, base_fn, sign, zero, base2k)
         res = jnp.stack(outs, axis=1)  # [TBF, C2*Lout, R, R]
 
         if digits == 1:
@@ -1065,3 +1203,232 @@ def fused_external_fold_batched(ctx: NTTPallasContext, x, keys_ntt,
         interpret=interpret,
     )(x, k7, *tables)
     return out[:, :B].reshape(A, B, c2, out_limbs, n)
+
+
+# --------------------------------------------------------------------------
+# fused automorphism-keyswitch CHAINS: the whole trace in ONE kernel,
+# pack merge levels with all glue (rotate / add / automorphism) in-VMEM
+# --------------------------------------------------------------------------
+#
+# The normalized trace is log_n SEQUENTIAL steps ct <- ct + KS(sigma_g(ct))
+# (core/keyswitch.trace; reference trace_inplace, consumed at
+# src/ram.rs:457).  As separate launches each step pays kernel dispatch,
+# an XLA gather for sigma_g, and HBM round-trips of the whole ct.  Here
+# the steps ride the sequential grid (like the fold kernel's digit
+# chain): the ct limbs persist in VMEM scratch, each step's automorphism
+# is applied in-VMEM via _perm_apply, and each step's keys/tables stream
+# through step-indexed blocks.  HBM traffic: ct in + S key blocks + ct
+# out.  Pack merge levels (core/packer.py) get the same treatment with
+# the X^t rotation and the u/v combination fused in.
+
+_TBT = int(os.environ.get("FHERAM_TBT", "4"))  # ct rows per grid step
+
+
+def _stack_perm_tables(n: int, maps):
+    """Stack _perm_tile_tables for a list of (g, t) maps: returns jnp
+    (PL [S,128,128] i8, PS [S,32,32] i8, WM [S,5,1,128] i32,
+    SIGN [S,32,128] i32)."""
+    tabs = [_perm_tile_tables(n, g, t) for (g, t) in maps]
+    return tuple(np.stack([t[i] for t in tabs]) for i in range(4))
+
+
+def _trace_kernel_factory(primes, rank: int, L: int, Lk: int, S: int,
+                          base2k: int = 17):
+    P = len(primes)
+    C2 = rank + 1
+    T = rank * L
+    M = C2 * Lk
+
+    def kernel(x_ref, k_ref, pl_ref, ps_ref, wm_ref, sg_ref,
+               cdig_ref, rdig_ref, ew_ref, o_ref, ct_ref):
+        s = pl.program_id(1)
+
+        @pl.when(s == 0)
+        def _():
+            ct_ref[...] = x_ref[...]
+
+        ct = ct_ref[...]  # [TBT, C2, L, SL, LN] normalized limbs
+        pp = [np.int32(q) for q in primes]
+        ip = [np.float32(1.0 / q) for q in primes]
+
+        # sigma_g on every limb of every component (in-VMEM, exact)
+        sa = _perm_apply(ct, pl_ref[0], ps_ref[0], wm_ref[0], sg_ref[0])
+
+        # keyswitch the a-part of sigma_g(ct) back to the base secret
+        digs = sa[:, :rank].reshape((ct.shape[0], T, _SL, _LN))
+        specs = [_fwd_tile_mxu(digs, cdig_ref[p], rdig_ref[p], ew_ref[p],
+                               pp[p], ip[p]) for p in range(P)]
+
+        def inv_fn(p, y):
+            return _inv_tile_mxu(y, cdig_ref[p], rdig_ref[p], ew_ref[p],
+                                 pp[p], ip[p])
+
+        rsb = _vmp_invntt(specs, lambda p, t, m: k_ref[0, p, t, m],
+                          T, M, primes, inv_fn)
+        acc = _garner_fold_acc(rsb, primes, C2, Lk, L, base2k)
+
+        # ct + KS(sigma(ct)): base = ct, plus sigma(b) at the b component
+        def base_fn(c2i, l):
+            b = ct[:, c2i, l]
+            if c2i == rank:
+                b = b + sa[:, rank, l]
+            return b
+
+        zero = jnp.zeros_like(ct[:, 0, 0])
+        outs = _carry_normalize(acc, base_fn, -1, zero, base2k)
+        res = jnp.stack(outs, axis=1).reshape(ct.shape)
+        ct_ref[...] = res
+
+        @pl.when(s == S - 1)
+        def _():
+            o_ref[...] = res
+
+    return kernel
+
+
+def fused_trace_pallas(ctx: NTTPallasContext, ct, keys_stacked, gal_els,
+                       interpret: bool = False):
+    """The whole normalized-trace chain in ONE kernel launch.
+
+    ct: int32[B, C2, L, N] normalized; keys_stacked: int32[S, P, T, M, N]
+    prepared automorphism keys (step s's key rows, T = rank*L,
+    M = C2*Lk), gal_els: tuple of S galois elements.  Returns
+    int32[B, C2, L, N] == the composed
+    ct <- normalize(ct + KS(sigma_g(ct))) chain, bit-exactly."""
+    assert _USE_MXU, "fused trace requires the MXU kernel family"
+    n = ctx.n
+    B, C2, L, n_ = ct.shape
+    S, P, T, M, n3 = keys_stacked.shape
+    rank = C2 - 1
+    assert n_ == n and n3 == n and T == rank * L and M % C2 == 0
+    assert S == len(gal_els) and S >= 1
+    Lk = M // C2
+
+    x = ct.reshape(B, C2, L, _SL, _LN)
+    Bp = -(-B // _TBT) * _TBT
+    if Bp != B:
+        x = jnp.concatenate(
+            [x, jnp.zeros((Bp - B, C2, L, _SL, _LN), dtype=x.dtype)], axis=0)
+    k6 = keys_stacked.reshape(S, P, T, M, _SL, _LN)
+    PL, PS, WM, SG = _stack_perm_tables(n, [(g, 0) for g in gal_els])
+    cdig, rdig, ew = _mxu_tables(ctx)
+
+    in_specs = [
+        pl.BlockSpec((_TBT, C2, L, _SL, _LN), lambda b, s: (b, 0, 0, 0, 0)),
+        pl.BlockSpec((1, P, T, M, _SL, _LN),
+                     lambda b, s: (s, 0, 0, 0, 0, 0)),
+        pl.BlockSpec((1, _LN, _LN), lambda b, s: (s, 0, 0)),
+        pl.BlockSpec((1, _SL, _SL), lambda b, s: (s, 0, 0)),
+        pl.BlockSpec((1, 5, 1, _LN), lambda b, s: (s, 0, 0, 0)),
+        pl.BlockSpec((1, _SL, _LN), lambda b, s: (s, 0, 0)),
+        pl.BlockSpec((P, 2, 3, _SL, _SL), lambda b, s: (0, 0, 0, 0, 0)),
+        pl.BlockSpec((P, 2, 3, _LN, _LN), lambda b, s: (0, 0, 0, 0, 0)),
+        pl.BlockSpec((P, 2, _SL, _LN), lambda b, s: (0, 0, 0, 0)),
+    ]
+    out = pl.pallas_call(
+        _trace_kernel_factory(ctx.primes, rank, L, Lk, S),
+        grid=(Bp // _TBT, S),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((_TBT, C2, L, _SL, _LN),
+                               lambda b, s: (b, 0, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((Bp, C2, L, _SL, _LN), I32),
+        scratch_shapes=[pltpu.VMEM((_TBT, C2, L, _SL, _LN), I32)],
+        interpret=interpret,
+    )(x, k6, PL, PS, WM, SG, cdig, rdig, ew)
+    return out[:B].reshape(B, C2, L, n)
+
+
+def _pack_kernel_factory(primes, rank: int, L: int, Lk: int,
+                         base2k: int = 17):
+    P = len(primes)
+    C2 = rank + 1
+    T = rank * L
+    M = C2 * Lk
+
+    def kernel(a_ref, b_ref, k_ref, rpl, rps, rwm, rsg,
+               apl, aps, awm, asg, cdig_ref, rdig_ref, ew_ref, o_ref):
+        pp = [np.int32(q) for q in primes]
+        ip = [np.float32(1.0 / q) for q in primes]
+        A = a_ref[...]   # [TBT, C2, L, SL, LN]
+        Bc = b_ref[...]
+
+        # merge glue in-VMEM: u = A + X^t B, v = A - X^t B, sigma_g(v)
+        xb = _perm_apply(Bc, rpl[...], rps[...], rwm[...], rsg[...])
+        u = A + xb
+        v = A - xb
+        sv = _perm_apply(v, apl[...], aps[...], awm[...], asg[...])
+
+        digs = sv[:, :rank].reshape((A.shape[0], T, _SL, _LN))
+        specs = [_fwd_tile_mxu(digs, cdig_ref[p], rdig_ref[p], ew_ref[p],
+                               pp[p], ip[p]) for p in range(P)]
+
+        def inv_fn(p, y):
+            return _inv_tile_mxu(y, cdig_ref[p], rdig_ref[p], ew_ref[p],
+                                 pp[p], ip[p])
+
+        rsb = _vmp_invntt(specs, lambda p, t, m: k_ref[p, t, m],
+                          T, M, primes, inv_fn)
+        acc = _garner_fold_acc(rsb, primes, C2, Lk, L, base2k)
+
+        def base_fn(c2i, l):
+            b = u[:, c2i, l]
+            if c2i == rank:
+                b = b + sv[:, rank, l]
+            return b
+
+        zero = jnp.zeros_like(A[:, 0, 0])
+        outs = _carry_normalize(acc, base_fn, -1, zero, base2k)
+        o_ref[...] = jnp.stack(outs, axis=1).reshape(A.shape)
+
+    return kernel
+
+
+def fused_pack_merge_pallas(ctx: NTTPallasContext, A, B, t_rot: int,
+                            g: int, key_ntt, interpret: bool = False):
+    """One pack-tree merge level with all glue in-kernel:
+
+        out = normalize(u + KS(sigma_g(v))),  u/v = A +- X^t B
+
+    A, B: int32[nb, C2, L, N] normalized; key_ntt: int32[P, T, M, N]
+    (T = rank*L, M = C2*Lk).  Returns int32[nb, C2, L, N], bit-exact vs
+    the composed rotate/add/automorphism_ks path (core/packer.py)."""
+    assert _USE_MXU, "fused pack merge requires the MXU kernel family"
+    n = ctx.n
+    nb, C2, L, n_ = A.shape
+    P, T, M, n3 = key_ntt.shape
+    rank = C2 - 1
+    assert n_ == n and n3 == n and T == rank * L and M % C2 == 0
+    Lk = M // C2
+
+    a = A.reshape(nb, C2, L, _SL, _LN)
+    b = B.reshape(nb, C2, L, _SL, _LN)
+    Bp = -(-nb // _TBT) * _TBT
+    if Bp != nb:
+        pad = jnp.zeros((Bp - nb, C2, L, _SL, _LN), dtype=a.dtype)
+        a = jnp.concatenate([a, pad], axis=0)
+        b = jnp.concatenate([b, pad], axis=0)
+    k5 = key_ntt.reshape(P, T, M, _SL, _LN)
+    rtab = [jnp.asarray(v) for v in _perm_tile_tables(n, 1, t_rot)]
+    atab = [jnp.asarray(v) for v in _perm_tile_tables(n, g, 0)]
+    cdig, rdig, ew = _mxu_tables(ctx)
+
+    ct_spec = pl.BlockSpec((_TBT, C2, L, _SL, _LN),
+                           lambda bb: (bb, 0, 0, 0, 0))
+    const = lambda *shape: pl.BlockSpec(shape, lambda bb: (0,) * len(shape))
+    in_specs = [
+        ct_spec, ct_spec,
+        const(P, T, M, _SL, _LN),
+        const(_LN, _LN), const(_SL, _SL), const(5, 1, _LN), const(_SL, _LN),
+        const(_LN, _LN), const(_SL, _SL), const(5, 1, _LN), const(_SL, _LN),
+        const(P, 2, 3, _SL, _SL), const(P, 2, 3, _LN, _LN),
+        const(P, 2, _SL, _LN),
+    ]
+    out = pl.pallas_call(
+        _pack_kernel_factory(ctx.primes, rank, L, Lk),
+        grid=(Bp // _TBT,),
+        in_specs=in_specs,
+        out_specs=ct_spec,
+        out_shape=jax.ShapeDtypeStruct((Bp, C2, L, _SL, _LN), I32),
+        interpret=interpret,
+    )(a, b, k5, *rtab, *atab, cdig, rdig, ew)
+    return out[:nb].reshape(nb, C2, L, n)

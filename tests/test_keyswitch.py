@@ -61,6 +61,26 @@ def test_trace_extracts_coeff0():
     assert np.array_equal(got, want), got[:8]
 
 
+def test_extract_slots():
+    """Split-tree slot extraction: row m decodes to [slot_m(ct), 0...],
+    matching the per-slot trace(X^-m ct) semantics (write path;
+    reference per-slot loop src/ram.rs:612-630)."""
+    src, sk, s_ntt, ekp = setup()
+    # values must stay in the k_pt signed range [-2^(k_pt-1), 2^(k_pt-1))
+    vals = (np.arange(PAR.n) * 7) % 8 - 4
+    ct = enc(src, s_ntt, vals)
+    for count in (1, 3, 8):  # non-power-of-two exercises the padding
+        fn = jax.jit(partial(keyswitch.extract_slots, PAR, CTX,
+                             count=count))
+        res = fn(ct, auto_keys_ntt=ekp.atk_glwe)
+        assert res.shape[0] == count
+        for m in range(count):
+            got = decode_all(glwe.phase(PAR, CTX, s_ntt, res[m]))
+            want = np.zeros(PAR.n, dtype=np.int64)
+            want[0] = vals[m]
+            assert np.array_equal(got, want), (count, m, got[:8])
+
+
 def test_trace_noise():
     src, sk, s_ntt, ekp = setup()
     vals = np.zeros(PAR.n, dtype=np.int64)
