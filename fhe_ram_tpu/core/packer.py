@@ -103,10 +103,13 @@ def pack(params: Params, ctx: NTTContext, cts, auto_keys_ntt: dict):
         A = cts[:t]
         B = cts[t : 2 * t]
         # merge in bounded slices: at huge geometries (2^24: first merge
-        # level has 2048x4 pairs) a single batched keyswitch's transient
-        # staging tensors would blow HBM
+        # level has 2048x4 pairs) the COMPOSED path's transient staging
+        # tensors would blow HBM; the fused merge kernel only streams
+        # its in/out blocks, so it takes any batch directly
+        from ..ops.ntt_pallas import fused_path_active
+
         nb = int(np.prod(A.shape[:-3]))
-        if nb <= _KS_CHUNK:
+        if nb <= _KS_CHUNK or fused_path_active(params.n):
             cts = _merge_level(params, ctx, A, B, t, g, auto_keys_ntt[g])
         else:
             # sequential lax.map slices (see ram._chunked_product note)

@@ -53,6 +53,15 @@ _R = 64
 _USE_MXU = os.environ.get("FHERAM_MXU", "1") == "1"
 
 
+def fused_path_active(n: int) -> bool:
+    """True when the fused MXU Pallas kernels serve this ring size --
+    their only HBM traffic is the streamed in/out blocks, so callers can
+    skip the composed path's transient-bounding lax.map slicing."""
+    from .ntt import get_backend
+
+    return _USE_MXU and n == 4096 and get_backend() == "pallas"
+
+
 def _mul_mod(a, b, p, ip):
     a1 = (a + 512) >> 10
     a0 = a - (a1 << 10)
@@ -743,33 +752,109 @@ def _perm_tile_tables(n: int, g: int, t: int):
     return PL, PS, WM, np.ascontiguousarray(SIGN.astype(np.int32))
 
 
-def _perm_apply(x, pl_t, ps_t, wm, sign):
+def _perm_apply(x, pl_t, ps_t, wm, sign, pl_id: bool = False,
+                ps_id: bool = False, wm_bits: int = 5,
+                sign_id: bool = False):
     """Apply a signed tile permutation in-kernel (exact).
 
     x: int32[..., 32, 128] with |x| <= 2^20.9; pl_t int8[128,128],
     ps_t int8[32,32], wm int32[5,1,128], sign int32[32,128]
-    (_perm_tile_tables layout)."""
+    (_perm_tile_tables layout).
+
+    pl_id / ps_id statically skip identity permutation matmuls: every
+    trace/pack galois element g = N/2^l + 1 with l <= 5 has BOTH maps
+    identity (g == 1 mod 128), and every rotation has the sublane map
+    identity -- the hot pack path then runs rolls + sign only."""
     lead = x.shape[:-2]
     x2 = x.reshape((-1, _SL, _LN))
     B = x2.shape[0]
-    planes = _split3_i8(x2)
-    plb = jnp.broadcast_to(pl_t, (B,) + pl_t.shape)
-    psb = jnp.broadcast_to(ps_t, (B,) + ps_t.shape)
-    outs = []
-    for d in planes:
-        y = jax.lax.dot_general(d, plb, (((2,), (1,)), ((0,), (0,))),
-                                preferred_element_type=I32)
-        y = jax.lax.dot_general(psb, y.astype(I8),
-                                (((2,), (1,)), ((0,), (0,))),
-                                preferred_element_type=I32)
-        outs.append(y)
-    # exact recombination: permutations preserve plane values
-    y = outs[0] + (outs[1] << 7) + (outs[2] << 14)
+    if not (pl_id and ps_id):
+        planes = _split3_i8(x2)
+        outs = []
+        for d in planes:
+            y = d
+            if not pl_id:
+                plb = jnp.broadcast_to(pl_t, (B,) + pl_t.shape)
+                y = jax.lax.dot_general(y, plb, (((2,), (1,)), ((0,), (0,))),
+                                        preferred_element_type=I32)
+            if not ps_id:
+                psb = jnp.broadcast_to(ps_t, (B,) + ps_t.shape)
+                y = jax.lax.dot_general(psb, y.astype(I8),
+                                        (((2,), (1,)), ((0,), (0,))),
+                                        preferred_element_type=I32)
+            outs.append(y)
+        # exact recombination: permutations preserve plane values
+        y = outs[0] + (outs[1].astype(I32) << 7) + (outs[2].astype(I32) << 14)
+    else:
+        y = x2
     # destination-lane-conditional sublane rolls: bit b of the offset
-    for b in range(5):
+    for b in range(wm_bits):
         rolled = pltpu.roll(y, 1 << b, 1)
         y = jnp.where(wm[b][None] != 0, rolled, y)
-    return (y * sign[None]).reshape(x.shape)
+    if not sign_id:
+        y = y * sign[None]
+    return y.reshape(x.shape)
+
+
+class _TilePerm:
+    """Host-side descriptor of one signed tile permutation with static
+    identity flags; `inputs()` lists only the tables the kernel needs,
+    and `apply(x, refs)` consumes them in the same order."""
+
+    def __init__(self, n: int, g: int, t: int):
+        PL, PS, WM, SG = _perm_tile_tables(n, g, t)
+        self.pl_id = bool(np.array_equal(PL, np.eye(_LN, dtype=np.int8)))
+        self.ps_id = bool(np.array_equal(PS, np.eye(_SL, dtype=np.int8)))
+        self.sign_id = bool(np.all(SG == 1))
+        # lane map that is a pure rotation j -> j + r (every X^t): a
+        # single pltpu.roll on the lane axis, no digit planes at all
+        jmap = np.argmax(PL, axis=1)
+        r = int(jmap[0])
+        self.lane_roll = (r if self.ps_id and not self.pl_id
+                          and np.array_equal(jmap, (np.arange(_LN) + r) % _LN)
+                          else None)
+        nz = np.nonzero(WM.reshape(5, _LN).any(axis=1))[0]
+        self.wm_bits = int(nz[-1] + 1) if nz.size else 0
+        self._tabs = (PL, PS, WM[: max(self.wm_bits, 1)], SG)
+
+    def inputs(self):
+        out = []
+        if self.lane_roll is None and not (self.pl_id and self.ps_id):
+            if not self.pl_id:
+                out.append(self._tabs[0])
+            if not self.ps_id:
+                out.append(self._tabs[1])
+        if self.wm_bits:
+            out.append(self._tabs[2])
+        if not self.sign_id:
+            out.append(self._tabs[3])
+        return out
+
+    def apply(self, x, refs):
+        """refs: iterator over the kernel refs matching inputs()."""
+        pl_t = ps_t = wm = sign = None
+        if self.lane_roll is None and not (self.pl_id and self.ps_id):
+            if not self.pl_id:
+                pl_t = next(refs)[...]
+            if not self.ps_id:
+                ps_t = next(refs)[...]
+        if self.wm_bits:
+            wm = next(refs)[...]
+        if not self.sign_id:
+            sign = next(refs)[...]
+        if self.lane_roll is not None:
+            lead = x.shape[:-2]
+            y = x.reshape((-1, _SL, _LN))
+            y = pltpu.roll(y, self.lane_roll, 2)
+            for b in range(self.wm_bits):
+                rolled = pltpu.roll(y, 1 << b, 1)
+                y = jnp.where(wm[b][None] != 0, rolled, y)
+            if not self.sign_id:
+                y = y * sign[None]
+            return y.reshape(x.shape)
+        return _perm_apply(x, pl_t, ps_t, wm, sign, pl_id=self.pl_id,
+                           ps_id=self.ps_id, wm_bits=self.wm_bits,
+                           sign_id=self.sign_id)
 
 
 # shared kernel-body helpers (used by the fold, trace-chain, and
@@ -936,7 +1021,11 @@ def _fold_kernel_factory(primes, T: int, C2: int, Lk: int, Lout: int,
     assert P == 3, "fold kernel wired for 3 primes"
     M = C2 * Lk
 
+    chained_spectral = spectral_in and digits > 1
+
     def kernel(*refs):
+        if chained_spectral:
+            *refs, spec_ref = refs
         if _USE_MXU:
             if has_base:
                 (x_ref, k_ref, base_ref, cdig_ref, rdig_ref,
@@ -956,7 +1045,26 @@ def _fold_kernel_factory(primes, T: int, C2: int, Lk: int, Lout: int,
         ip = [np.float32(1.0 / q) for q in primes]
         d_id = pl.program_id(dig_axis)
 
-        if spectral_in:
+        if chained_spectral:
+            # digit 0 consumes the SHARED spectral input (forward
+            # transform hoisted out of an address batch); later digits
+            # forward-transform the VMEM carry as in the plain chain
+            assert _USE_MXU, "chained spectral input needs the MXU path"
+
+            @pl.when(d_id == 0)
+            def _():
+                spec_ref[...] = x_ref[...]
+
+            @pl.when(d_id > 0)
+            def _():
+                cur = carry_ref[...]
+                for p in range(P):
+                    spec_ref[p] = _fwd_tile_mxu(cur, cdig_ref[p],
+                                                rdig_ref[p], ew_ref[p],
+                                                pp[p], ip[p])
+
+            specs = [spec_ref[p] for p in range(P)]
+        elif spectral_in:
             # x arrives already in the kernels' spectrum order (shared
             # forward transform hoisted out, e.g. batched reads): skip
             # the fwd NTT entirely
@@ -1060,7 +1168,8 @@ def fused_external_fold_pallas(ctx: NTTPallasContext, x, keys_ntt,
     n = ctx.n
     P, digits, T2, M, n3 = keys_ntt.shape
     if x_is_ntt:
-        assert digits == 1, "spectral input is single-digit only"
+        # digits == 1: plain spectral keyswitch; digits > 1: digit 0
+        # consumes the shared spectra, later digits transform the carry
         P_, B, T, n_ = x.shape
         assert P_ == P
     else:
@@ -1126,6 +1235,9 @@ def fused_external_fold_pallas(ctx: NTTPallasContext, x, keys_ntt,
             pl.BlockSpec((P, 6, _R, _R), lambda b, d: (0, 0, 0, 0)),
         ]
 
+    scratch = [pltpu.VMEM((_TBF, T, TR, TC), I32)]
+    if x_is_ntt and digits > 1:
+        scratch.append(pltpu.VMEM((P, _TBF, T, TR, TC), I32))
     out = pl.pallas_call(
         _fold_kernel_factory(ctx.primes, T, c2, Lk, out_limbs, digits,
                              has_base, sign, spectral_in=x_is_ntt),
@@ -1134,7 +1246,7 @@ def fused_external_fold_pallas(ctx: NTTPallasContext, x, keys_ntt,
         out_specs=pl.BlockSpec((_TBF, c2 * out_limbs, TR, TC),
                                lambda b, d: (b, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((Bp, c2 * out_limbs, TR, TC), I32),
-        scratch_shapes=[pltpu.VMEM((_TBF, T, TR, TC), I32)],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(*inputs)
     return out[:B].reshape(B, c2, out_limbs, n)
@@ -1142,6 +1254,7 @@ def fused_external_fold_pallas(ctx: NTTPallasContext, x, keys_ntt,
 
 def fused_external_fold_batched(ctx: NTTPallasContext, x, keys_ntt,
                                 out_limbs: int, c2: int,
+                                x_is_ntt: bool = False,
                                 interpret: bool = False):
     """fused_external_fold_pallas with PER-ITEM keys: item a of the
     leading batch axis is processed against keys_ntt[a] (an address
@@ -1149,26 +1262,45 @@ def fused_external_fold_batched(ctx: NTTPallasContext, x, keys_ntt,
     calls would serialize on dispatch overhead).
 
     x: int32[A, B, T, N]; keys_ntt: int32[A, P, digits, T, M, N].
+    With x_is_ntt, x is int32[P, B, T, N] -- ONE spectral operand SHARED
+    by every item (batched reads: the RAM rows' forward transform hoisted
+    out of the whole address batch); digit 0 consumes it directly and
+    later digits transform the VMEM carry.
     Returns int32[A, B, c2, out_limbs, N] normalized."""
     n = ctx.n
-    A, B, T, n_ = x.shape
     A2, P, digits, T2, M, n3 = keys_ntt.shape
-    assert A2 == A and n_ == n and n3 == n and T2 == T and M % c2 == 0
+    A = A2
+    if x_is_ntt:
+        P_, B, T, n_ = x.shape
+        assert P_ == P
+    else:
+        A3, B, T, n_ = x.shape
+        assert A3 == A
+    assert n_ == n and n3 == n and T2 == T and M % c2 == 0
     Lk = M // c2
     if digits > 1:
         assert T == c2 * out_limbs, "chained digits need T == C2*Lout"
     TR, TC = (_SL, _LN) if _USE_MXU else (_R, _R)
-    x = x.reshape(A, B, T, TR, TC)
     Bp = -(-B // _TBF) * _TBF
-    if Bp != B:
-        x = jnp.concatenate(
-            [x, jnp.zeros((A, Bp - B, T, TR, TC), dtype=x.dtype)], axis=1)
+    if x_is_ntt:
+        x = x.reshape(P, B, T, TR, TC)
+        if Bp != B:
+            x = jnp.concatenate(
+                [x, jnp.zeros((P, Bp - B, T, TR, TC), dtype=x.dtype)], axis=1)
+        x_spec = pl.BlockSpec((P, _TBF, T, TR, TC),
+                              lambda a, b, d: (0, b, 0, 0, 0))
+    else:
+        x = x.reshape(A, B, T, TR, TC)
+        if Bp != B:
+            x = jnp.concatenate(
+                [x, jnp.zeros((A, Bp - B, T, TR, TC), dtype=x.dtype)], axis=1)
+        x_spec = pl.BlockSpec((None, _TBF, T, TR, TC),
+                              lambda a, b, d: (a, b, 0, 0, 0))
     k7 = keys_ntt.reshape(A, P, digits, T, M, TR, TC)
 
     Mo = c2 * out_limbs
     specs = [
-        pl.BlockSpec((None, _TBF, T, TR, TC),
-                     lambda a, b, d: (a, b, 0, 0, 0)),
+        x_spec,
         pl.BlockSpec((None, P, 1, T, M, TR, TC),
                      lambda a, b, d: (a, 0, d, 0, 0, 0, 0)),
     ]
@@ -1191,15 +1323,19 @@ def fused_external_fold_batched(ctx: NTTPallasContext, x, keys_ntt,
             pl.BlockSpec((P, 6, _R, _R), lambda a, b, d: (0, 0, 0, 0)),
             pl.BlockSpec((P, 6, _R, _R), lambda a, b, d: (0, 0, 0, 0)),
         ]
+    scratch = [pltpu.VMEM((_TBF, T, TR, TC), I32)]
+    if x_is_ntt and digits > 1:
+        scratch.append(pltpu.VMEM((P, _TBF, T, TR, TC), I32))
     out = pl.pallas_call(
         _fold_kernel_factory(ctx.primes, T, c2, Lk, out_limbs, digits,
-                             has_base=False, sign=1, dig_axis=2),
+                             has_base=False, sign=1,
+                             spectral_in=x_is_ntt, dig_axis=2),
         grid=(A, Bp // _TBF, digits),
         in_specs=specs,
         out_specs=pl.BlockSpec((None, _TBF, Mo, TR, TC),
                                lambda a, b, d: (a, b, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((A, Bp, Mo, TR, TC), I32),
-        scratch_shapes=[pltpu.VMEM((_TBF, T, TR, TC), I32)],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(x, k7, *tables)
     return out[:, :B].reshape(A, B, c2, out_limbs, n)
@@ -1233,14 +1369,20 @@ def _stack_perm_tables(n: int, maps):
 
 
 def _trace_kernel_factory(primes, rank: int, L: int, Lk: int, S: int,
+                          perm: _TilePerm | None = None,
                           base2k: int = 17):
+    """perm: a static _TilePerm when S == 1 (identity matmuls skipped);
+    None = generic stacked per-step tables (S > 1)."""
     P = len(primes)
     C2 = rank + 1
     T = rank * L
     M = C2 * Lk
+    nperm = len(perm.inputs()) if perm is not None else 4
 
-    def kernel(x_ref, k_ref, pl_ref, ps_ref, wm_ref, sg_ref,
-               cdig_ref, rdig_ref, ew_ref, o_ref, ct_ref):
+    def kernel(*refs):
+        x_ref, k_ref = refs[:2]
+        perm_refs = refs[2 : 2 + nperm]
+        cdig_ref, rdig_ref, ew_ref, o_ref, ct_ref = refs[2 + nperm :]
         s = pl.program_id(1)
 
         @pl.when(s == 0)
@@ -1252,7 +1394,11 @@ def _trace_kernel_factory(primes, rank: int, L: int, Lk: int, S: int,
         ip = [np.float32(1.0 / q) for q in primes]
 
         # sigma_g on every limb of every component (in-VMEM, exact)
-        sa = _perm_apply(ct, pl_ref[0], ps_ref[0], wm_ref[0], sg_ref[0])
+        if perm is not None:
+            sa = perm.apply(ct, iter(perm_refs))
+        else:
+            pl_ref, ps_ref, wm_ref, sg_ref = perm_refs
+            sa = _perm_apply(ct, pl_ref[0], ps_ref[0], wm_ref[0], sg_ref[0])
 
         # keyswitch the a-part of sigma_g(ct) back to the base secret
         digs = sa[:, :rank].reshape((ct.shape[0], T, _SL, _LN))
@@ -1310,23 +1456,37 @@ def fused_trace_pallas(ctx: NTTPallasContext, ct, keys_stacked, gal_els,
         x = jnp.concatenate(
             [x, jnp.zeros((Bp - B, C2, L, _SL, _LN), dtype=x.dtype)], axis=0)
     k6 = keys_stacked.reshape(S, P, T, M, _SL, _LN)
-    PL, PS, WM, SG = _stack_perm_tables(n, [(g, 0) for g in gal_els])
     cdig, rdig, ew = _mxu_tables(ctx)
 
     in_specs = [
         pl.BlockSpec((_TBT, C2, L, _SL, _LN), lambda b, s: (b, 0, 0, 0, 0)),
         pl.BlockSpec((1, P, T, M, _SL, _LN),
                      lambda b, s: (s, 0, 0, 0, 0, 0)),
-        pl.BlockSpec((1, _LN, _LN), lambda b, s: (s, 0, 0)),
-        pl.BlockSpec((1, _SL, _SL), lambda b, s: (s, 0, 0)),
-        pl.BlockSpec((1, 5, 1, _LN), lambda b, s: (s, 0, 0, 0)),
-        pl.BlockSpec((1, _SL, _LN), lambda b, s: (s, 0, 0)),
+    ]
+    if S == 1:
+        # static single-step tables: identity permutation matmuls are
+        # skipped (all split-tree levels use g = N/2^l + 1, l <= 5,
+        # whose lane AND sublane maps are identity)
+        perm = _TilePerm(n, gal_els[0], 0)
+        ptabs = [jnp.asarray(v) for v in perm.inputs()]
+        in_specs += [pl.BlockSpec(v.shape, (lambda b, s, _nd=v.ndim:
+                                            (0,) * _nd)) for v in ptabs]
+    else:
+        perm = None
+        ptabs = list(_stack_perm_tables(n, [(g, 0) for g in gal_els]))
+        in_specs += [
+            pl.BlockSpec((1, _LN, _LN), lambda b, s: (s, 0, 0)),
+            pl.BlockSpec((1, _SL, _SL), lambda b, s: (s, 0, 0)),
+            pl.BlockSpec((1, 5, 1, _LN), lambda b, s: (s, 0, 0, 0)),
+            pl.BlockSpec((1, _SL, _LN), lambda b, s: (s, 0, 0)),
+        ]
+    in_specs += [
         pl.BlockSpec((P, 2, 3, _SL, _SL), lambda b, s: (0, 0, 0, 0, 0)),
         pl.BlockSpec((P, 2, 3, _LN, _LN), lambda b, s: (0, 0, 0, 0, 0)),
         pl.BlockSpec((P, 2, _SL, _LN), lambda b, s: (0, 0, 0, 0)),
     ]
     out = pl.pallas_call(
-        _trace_kernel_factory(ctx.primes, rank, L, Lk, S),
+        _trace_kernel_factory(ctx.primes, rank, L, Lk, S, perm),
         grid=(Bp // _TBT, S),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((_TBT, C2, L, _SL, _LN),
@@ -1334,29 +1494,33 @@ def fused_trace_pallas(ctx: NTTPallasContext, ct, keys_stacked, gal_els,
         out_shape=jax.ShapeDtypeStruct((Bp, C2, L, _SL, _LN), I32),
         scratch_shapes=[pltpu.VMEM((_TBT, C2, L, _SL, _LN), I32)],
         interpret=interpret,
-    )(x, k6, PL, PS, WM, SG, cdig, rdig, ew)
+    )(x, k6, *ptabs, cdig, rdig, ew)
     return out[:B].reshape(B, C2, L, n)
 
 
 def _pack_kernel_factory(primes, rank: int, L: int, Lk: int,
+                         rperm: _TilePerm, aperm: _TilePerm,
                          base2k: int = 17):
     P = len(primes)
     C2 = rank + 1
     T = rank * L
     M = C2 * Lk
+    nperm = len(rperm.inputs()) + len(aperm.inputs())
 
-    def kernel(a_ref, b_ref, k_ref, rpl, rps, rwm, rsg,
-               apl, aps, awm, asg, cdig_ref, rdig_ref, ew_ref, o_ref):
+    def kernel(*refs):
+        a_ref, b_ref, k_ref = refs[:3]
+        perm_refs = iter(refs[3 : 3 + nperm])
+        cdig_ref, rdig_ref, ew_ref, o_ref = refs[3 + nperm :]
         pp = [np.int32(q) for q in primes]
         ip = [np.float32(1.0 / q) for q in primes]
         A = a_ref[...]   # [TBT, C2, L, SL, LN]
         Bc = b_ref[...]
 
         # merge glue in-VMEM: u = A + X^t B, v = A - X^t B, sigma_g(v)
-        xb = _perm_apply(Bc, rpl[...], rps[...], rwm[...], rsg[...])
+        xb = rperm.apply(Bc, perm_refs)
         u = A + xb
         v = A - xb
-        sv = _perm_apply(v, apl[...], aps[...], awm[...], asg[...])
+        sv = aperm.apply(v, perm_refs)
 
         digs = sv[:, :rank].reshape((A.shape[0], T, _SL, _LN))
         specs = [_fwd_tile_mxu(digs, cdig_ref[p], rdig_ref[p], ew_ref[p],
@@ -1408,8 +1572,9 @@ def fused_pack_merge_pallas(ctx: NTTPallasContext, A, B, t_rot: int,
         a = jnp.concatenate([a, pad], axis=0)
         b = jnp.concatenate([b, pad], axis=0)
     k5 = key_ntt.reshape(P, T, M, _SL, _LN)
-    rtab = [jnp.asarray(v) for v in _perm_tile_tables(n, 1, t_rot)]
-    atab = [jnp.asarray(v) for v in _perm_tile_tables(n, g, 0)]
+    rperm = _TilePerm(n, 1, t_rot)
+    aperm = _TilePerm(n, g, 0)
+    ptabs = [jnp.asarray(v) for v in rperm.inputs() + aperm.inputs()]
     cdig, rdig, ew = _mxu_tables(ctx)
 
     ct_spec = pl.BlockSpec((_TBT, C2, L, _SL, _LN),
@@ -1418,17 +1583,16 @@ def fused_pack_merge_pallas(ctx: NTTPallasContext, A, B, t_rot: int,
     in_specs = [
         ct_spec, ct_spec,
         const(P, T, M, _SL, _LN),
-        const(_LN, _LN), const(_SL, _SL), const(5, 1, _LN), const(_SL, _LN),
-        const(_LN, _LN), const(_SL, _SL), const(5, 1, _LN), const(_SL, _LN),
+        *[const(*v.shape) for v in ptabs],
         const(P, 2, 3, _SL, _SL), const(P, 2, 3, _LN, _LN),
         const(P, 2, _SL, _LN),
     ]
     out = pl.pallas_call(
-        _pack_kernel_factory(ctx.primes, rank, L, Lk),
+        _pack_kernel_factory(ctx.primes, rank, L, Lk, rperm, aperm),
         grid=(Bp // _TBT,),
         in_specs=in_specs,
         out_specs=ct_spec,
         out_shape=jax.ShapeDtypeStruct((Bp, C2, L, _SL, _LN), I32),
         interpret=interpret,
-    )(a, b, k5, *rtab, *atab, cdig, rdig, ew)
+    )(a, b, k5, *ptabs, cdig, rdig, ew)
     return out[:nb].reshape(nb, C2, L, n)

@@ -158,28 +158,21 @@ def coordinate_product_batched(params: Params, ctx: NTTContext, ct,
     _B, P, _, D, C, C2, Lg, _n = coords_prep_b.shape
     L = ct.shape[-2]
     if (ntt_mod.get_backend() == "pallas" and n == 4096 and C2 == C
-            and D == L):
+            and D == L and dig <= _CHAIN_MAX):
         from ..ops.ntt_pallas import (
-            get_pallas_context, fused_external_fold_pallas, ntt_fwd_pallas)
+            get_pallas_context, fused_external_fold_batched, ntt_fwd_pallas)
 
         pctx = get_pallas_context(n, ctx.primes)
+        B = coords_prep_b.shape[0]
         lead_shape = ct.shape[:-3]
         x = ct.reshape((-1, C * D, n))
         xn = ntt_fwd_pallas(pctx, x)  # [P, rows, T, N], shared across B
-
-        def per_addr(coord_prep):
-            keys = jnp.transpose(coord_prep, (0, 1, 3, 2, 4, 5, 6)).reshape(
-                P, dig, C * D, C2 * Lg, n)
-            y = fused_external_fold_pallas(
-                pctx, xn, keys[:, :1], L, C2, x_is_ntt=True
-            ).reshape((-1, C2 * L, n))
-            for s0 in range(1, dig, _CHAIN_MAX):
-                y = fused_external_fold_pallas(
-                    pctx, y, keys[:, s0 : s0 + _CHAIN_MAX], L, C2
-                ).reshape((-1, C2 * L, n))
-            return y.reshape(lead_shape + (C2, L, n))
-
-        return jax.lax.map(per_addr, coords_prep_b)
+        keys = jnp.transpose(coords_prep_b, (0, 1, 2, 4, 3, 5, 6, 7)).reshape(
+            B, P, dig, C * D, C2 * Lg, n)
+        # the WHOLE batched level: shared spectral digit 0 + per-address
+        # chained digits, one kernel launch (grid: address x rows x digit)
+        y = fused_external_fold_batched(pctx, xn, keys, L, C2, x_is_ntt=True)
+        return y.reshape((B,) + lead_shape + (C2, L, n))
 
     return jax.lax.map(
         lambda c: coordinate_product(params, ctx, ct, c), coords_prep_b)

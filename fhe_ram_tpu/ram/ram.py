@@ -110,9 +110,15 @@ def _pack_rows(params: Params, ctx: NTTContext, cur, atk):
 _PRODUCT_CHUNK_ROWS = 1024
 
 
+def _fused_kernel_path(params: Params) -> bool:
+    from ..ops.ntt_pallas import fused_path_active
+
+    return fused_path_active(params.n)
+
+
 def _chunked_product(params: Params, ctx: NTTContext, cur, coord):
     W, R = cur.shape[0], cur.shape[1]
-    if W * R <= _PRODUCT_CHUNK_ROWS:
+    if W * R <= _PRODUCT_CHUNK_ROWS or _fused_kernel_path(params):
         return address_mod.coordinate_product(params, ctx, cur, coord)
     # lax.map (not an unrolled python loop): XLA's scheduler interleaves
     # independent unrolled slices and keeps all their temps live; the

@@ -90,6 +90,22 @@ def test_fused_trace_matches_composed():
     assert np.array_equal(np.asarray(got), np.asarray(ct))
 
 
+def test_fused_trace_single_step_matches_composed():
+    """S == 1 takes the static-descriptor path (identity permutation
+    matmuls skipped for g = N/2^l + 1, l <= 5) -- must stay bit-exact."""
+    rnd = np.random.default_rng(4)
+    B, rank, L, Lk = 2, 1, 3, 4
+    C2 = rank + 1
+    for l in (0, 5, 11):  # identity-perm, identity-perm, full-perm
+        g = (N >> l) + 1
+        keys = _rand_keys(rnd, 1, rank * L, C2 * Lk)
+        ct0 = jnp.asarray(
+            rnd.integers(-(1 << 16), 1 << 16, size=(B, C2, L, N)), jnp.int32)
+        want = _composed_step(ct0, keys[0], g, base_extra=ct0)
+        got = fused_trace_pallas(PCTX, ct0, keys, (g,), interpret=True)
+        assert np.array_equal(np.asarray(got), np.asarray(want)), l
+
+
 def test_fused_pack_merge_matches_composed():
     rnd = np.random.default_rng(2)
     nb, rank, L, Lk = 3, 1, 3, 4  # nb=3 exercises the TBT padding

@@ -171,3 +171,14 @@ def test_fused_fold_chain_matches_sequential():
                                        interpret=True)
     assert np.array_equal(np.asarray(got[0]), np.asarray(want0))
     assert np.array_equal(np.asarray(got[1]), np.asarray(want1))
+
+    # SHARED-spectral chained variant (batched level-0): one spectral
+    # operand for every item, digit 0 consumes it, digit 1 transforms
+    # the VMEM carry -- must equal the per-item coefficient chain
+    kb2 = jnp.stack([keys_ntt, jnp.roll(keys_ntt, 1, axis=-1)], axis=0)
+    got2 = fused_external_fold_batched(PCTX, xn, kb2, Lout, C2,
+                                       x_is_ntt=True, interpret=True)
+    for a in range(2):
+        want = fused_external_fold_pallas(PCTX, x, kb2[a], Lout, C2,
+                                          interpret=True)
+        assert np.array_equal(np.asarray(got2[a]), np.asarray(want)), a
