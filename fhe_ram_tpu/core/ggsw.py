@@ -84,15 +84,42 @@ def prepare(ctx: NTTContext, ggsw):
 
 
 def external_product_batched(params: Params, ctx: NTTContext, ct, ggsw_ntt,
-                             out_limbs: int | None = None):
+                             out_limbs: int | None = None, base=None,
+                             sign: int = 1):
     """Batched GLWE x GGSW where each batch element has its own GGSW.
 
     ct: int32[B, C, L, N]; ggsw_ntt: int32[P, B, D, C, C2, Lg, N].
-    Used by the VM layer's per-bit CMux chains (vm/)."""
+    Used by the VM layer's per-bit CMux chains (vm/).
+
+    ct's limbs are consumed as the gadget digits directly and may be
+    UNNORMALIZED up to |limb| <= 2^18 (the fused kernel's digit bound is
+    0.502p ~= 2^18.6; the composed path's ntt_fwd bound is 2^21) -- CMux
+    callers pass high-low without an extra normalize pass.
+    base: optional int32[B, C2, Lout, N] added (after `sign`) before the
+    final normalize (fused into the kernel epilogue on the pallas path):
+    out = normalize(base + sign * (ct x ggsw))."""
     P, B, D, C, C2, Lg, n = ggsw_ntt.shape
     L = ct.shape[-2]
     assert ct.shape == (B, C, L, n) and D == L
     Lout = out_limbs if out_limbs is not None else L
+
+    from ..ops import ntt as ntt_mod
+
+    if ntt_mod.get_backend() == "pallas" and n == 4096:
+        # per-item fused kernel: fwd NTT + VMP + inverse NTT + CRT fold
+        # + (base +) normalize, one launch for the whole batch
+        from ..ops.ntt_pallas import (
+            get_pallas_context, fused_external_fold_batched)
+
+        pctx = get_pallas_context(n, ctx.primes)
+        x = ct.reshape(B, 1, C * D, n)
+        keys = jnp.transpose(ggsw_ntt, (0, 1, 3, 2, 4, 5, 6)).reshape(
+            P, B, C * D, C2 * Lg, n)
+        keys = jnp.moveaxis(keys, 1, 0)[:, :, None]  # [B, P, 1, T, M, N]
+        bb = None if base is None else base.reshape(B, 1, C2, Lout, n)
+        out = fused_external_fold_batched(pctx, x, keys, Lout, C2,
+                                          base=bb, sign=sign, tbf=1)
+        return out.reshape(B, C2, Lout, n)
 
     dig_ntt = ntt_fwd(ctx, ct)  # [P, B, C, D, N]
     p, ip = ctx.consts(5)
@@ -105,7 +132,54 @@ def external_product_batched(params: Params, ctx: NTTContext, ct, ggsw_ntt,
     acc = jax.lax.optimization_barrier(acc.reshape(P, -1, n))
     conv = ntt_inv(ctx, acc).reshape(P, B, C2, Lg, n)
     out = crt_fold(ctx.primes, conv, 17, Lout, p, ip)
+    if sign < 0:
+        out = -out
+    if base is not None:
+        out = base + out
     return limb_ops.normalize(out)
+
+
+def external_product_keyed(params: Params, ctx: NTTContext, ct, ggsw_ntt,
+                           out_limbs: int | None = None, base=None,
+                           sign: int = 1):
+    """GLWE x GGSW with K distinct GGSWs, each applied to B rows:
+    ct: int32[K, B, C, L, N]; ggsw_ntt: int32[P, K, D, C, C2, Lg, N];
+    base: optional int32[K, B, C2, Lout, N].
+
+    The VM's CMux batches have FEW distinct bit GGSWs shared by many
+    rows (e.g. a barrel level: 2 shift-amount bits x 96 rows); streaming
+    per-ROW keys made those kernels DMA-bound (~2.3 MB/row), so this
+    keyed form streams each key once per key-group."""
+    P, K, D, C, C2, Lg, n = ggsw_ntt.shape
+    K2, B, C3, L, n2 = ct.shape
+    assert K2 == K and C3 == C and D == L and n2 == n
+    Lout = out_limbs if out_limbs is not None else L
+
+    from ..ops import ntt as ntt_mod
+
+    if ntt_mod.get_backend() == "pallas" and n == 4096:
+        from ..ops.ntt_pallas import (
+            get_pallas_context, fused_external_fold_batched)
+
+        pctx = get_pallas_context(n, ctx.primes)
+        x = ct.reshape(K, B, C * D, n)
+        keys = jnp.transpose(ggsw_ntt, (0, 1, 3, 2, 4, 5, 6)).reshape(
+            P, K, C * D, C2 * Lg, n)
+        keys = jnp.moveaxis(keys, 1, 0)[:, :, None]  # [K, P, 1, T, M, N]
+        out = fused_external_fold_batched(pctx, x, keys, Lout, C2,
+                                          base=base, sign=sign,
+                                          tbf=min(2, B))
+        return out
+
+    # composed fallback: expand to the per-item form
+    gg = jnp.broadcast_to(ggsw_ntt[:, :, None],
+                          (P, K, B, D, C, C2, Lg, n)).reshape(
+                              P, K * B, D, C, C2, Lg, n)
+    bb = None if base is None else base.reshape((K * B,) + base.shape[2:])
+    out = external_product_batched(params, ctx,
+                                   ct.reshape((K * B,) + ct.shape[2:]),
+                                   gg, Lout, base=bb, sign=sign)
+    return out.reshape((K, B) + out.shape[1:])
 
 
 def external_product(params: Params, ctx: NTTContext, ct, ggsw_ntt,

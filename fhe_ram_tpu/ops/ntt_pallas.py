@@ -1254,7 +1254,8 @@ def fused_external_fold_pallas(ctx: NTTPallasContext, x, keys_ntt,
 
 def fused_external_fold_batched(ctx: NTTPallasContext, x, keys_ntt,
                                 out_limbs: int, c2: int,
-                                x_is_ntt: bool = False,
+                                x_is_ntt: bool = False, base=None,
+                                sign: int = 1, tbf: int | None = None,
                                 interpret: bool = False):
     """fused_external_fold_pallas with PER-ITEM keys: item a of the
     leading batch axis is processed against keys_ntt[a] (an address
@@ -1266,6 +1267,10 @@ def fused_external_fold_batched(ctx: NTTPallasContext, x, keys_ntt,
     by every item (batched reads: the RAM rows' forward transform hoisted
     out of the whole address batch); digit 0 consumes it directly and
     later digits transform the VMEM carry.
+    base: optional int32[A, B, c2, out_limbs, N] added (after `sign`)
+    before the in-kernel normalize -- the VM's CMux low-arm fusion.
+    tbf: rows per grid step (default _TBF; pass 1 for B == 1 callers so
+    nothing is wasted on padding).
     Returns int32[A, B, c2, out_limbs, N] normalized."""
     n = ctx.n
     A2, P, digits, T2, M, n3 = keys_ntt.shape
@@ -1280,21 +1285,23 @@ def fused_external_fold_batched(ctx: NTTPallasContext, x, keys_ntt,
     Lk = M // c2
     if digits > 1:
         assert T == c2 * out_limbs, "chained digits need T == C2*Lout"
+        assert base is None, "base fusion is single-digit only"
     TR, TC = (_SL, _LN) if _USE_MXU else (_R, _R)
-    Bp = -(-B // _TBF) * _TBF
+    TBF = tbf if tbf is not None else _TBF
+    Bp = -(-B // TBF) * TBF
     if x_is_ntt:
         x = x.reshape(P, B, T, TR, TC)
         if Bp != B:
             x = jnp.concatenate(
                 [x, jnp.zeros((P, Bp - B, T, TR, TC), dtype=x.dtype)], axis=1)
-        x_spec = pl.BlockSpec((P, _TBF, T, TR, TC),
+        x_spec = pl.BlockSpec((P, TBF, T, TR, TC),
                               lambda a, b, d: (0, b, 0, 0, 0))
     else:
         x = x.reshape(A, B, T, TR, TC)
         if Bp != B:
             x = jnp.concatenate(
                 [x, jnp.zeros((A, Bp - B, T, TR, TC), dtype=x.dtype)], axis=1)
-        x_spec = pl.BlockSpec((None, _TBF, T, TR, TC),
+        x_spec = pl.BlockSpec((None, TBF, T, TR, TC),
                               lambda a, b, d: (a, b, 0, 0, 0))
     k7 = keys_ntt.reshape(A, P, digits, T, M, TR, TC)
 
@@ -1304,6 +1311,16 @@ def fused_external_fold_batched(ctx: NTTPallasContext, x, keys_ntt,
         pl.BlockSpec((None, P, 1, T, M, TR, TC),
                      lambda a, b, d: (a, 0, d, 0, 0, 0, 0)),
     ]
+    has_base = base is not None
+    extra_inputs = []
+    if has_base:
+        bb = base.reshape(A, B, Mo, TR, TC)
+        if Bp != B:
+            bb = jnp.concatenate(
+                [bb, jnp.zeros((A, Bp - B, Mo, TR, TC), bb.dtype)], axis=1)
+        extra_inputs.append(bb)
+        specs.append(pl.BlockSpec((None, TBF, Mo, TR, TC),
+                                  lambda a, b, d: (a, b, 0, 0, 0)))
     if _USE_MXU:
         cdig, rdig, ew = _mxu_tables(ctx)
         tables = [cdig, rdig, ew]
@@ -1323,21 +1340,21 @@ def fused_external_fold_batched(ctx: NTTPallasContext, x, keys_ntt,
             pl.BlockSpec((P, 6, _R, _R), lambda a, b, d: (0, 0, 0, 0)),
             pl.BlockSpec((P, 6, _R, _R), lambda a, b, d: (0, 0, 0, 0)),
         ]
-    scratch = [pltpu.VMEM((_TBF, T, TR, TC), I32)]
+    scratch = [pltpu.VMEM((TBF, T, TR, TC), I32)]
     if x_is_ntt and digits > 1:
-        scratch.append(pltpu.VMEM((P, _TBF, T, TR, TC), I32))
+        scratch.append(pltpu.VMEM((P, TBF, T, TR, TC), I32))
     out = pl.pallas_call(
         _fold_kernel_factory(ctx.primes, T, c2, Lk, out_limbs, digits,
-                             has_base=False, sign=1,
+                             has_base=has_base, sign=sign,
                              spectral_in=x_is_ntt, dig_axis=2),
-        grid=(A, Bp // _TBF, digits),
+        grid=(A, Bp // TBF, digits),
         in_specs=specs,
-        out_specs=pl.BlockSpec((None, _TBF, Mo, TR, TC),
+        out_specs=pl.BlockSpec((None, TBF, Mo, TR, TC),
                                lambda a, b, d: (a, b, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((A, Bp, Mo, TR, TC), I32),
         scratch_shapes=scratch,
         interpret=interpret,
-    )(x, k7, *tables)
+    )(x, k7, *extra_inputs, *tables)
     return out[:, :B].reshape(A, B, c2, out_limbs, n)
 
 

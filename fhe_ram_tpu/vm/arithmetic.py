@@ -81,11 +81,6 @@ def glwe_blind_rotation(params: Params, ctx: NTTContext, ct, prep_bits,
     return ct
 
 
-def _b_bit(op: str, rs2p, immp, j: int):
-    src = immp if op in _IMM_OPS else rs2p
-    return src[:, j]
-
-
 # --------------------------------------------------------------------------
 # group circuits (each = one batched pipeline for all ops in the group)
 # --------------------------------------------------------------------------
@@ -105,9 +100,15 @@ def _dp_group(params: Params, ctx: NTTContext, ops, rs1p, rs2p, immp,
         for sp in specs
     ])  # [G, 2, C, L, N]
 
+    # op indices grouped by b-operand source: each group's bit j is ONE
+    # GGSW shared by all its leaves (keyed CMux: key streamed once)
+    src_groups = {}
+    for gi, op in enumerate(ops):
+        src_groups.setdefault(op in _IMM_OPS, []).append(gi)
+
     for j in range(bits - 1, -1, -1):
         delta = circuits._delta_slot(params, j, bits)
-        highs, lows = [], []
+        leaves = [None] * G
         for gi, (op, sp) in enumerate(zip(ops, specs)):
             emit, subtab, flip, _, _ = sp
             t = {}
@@ -121,49 +122,70 @@ def _dp_group(params: Params, ctx: NTTContext, ops, rs1p, rs2p, immp,
                         base = F[gi, carry]
                         if emit:
                             o = aa ^ eff_b ^ c if subtab else aa ^ bb ^ c
-                            # for sub the emitted bit is a ^ ~b ^ c
-                            base = limb_ops.normalize(base + o * delta)
+                            # for sub the emitted bit is a ^ ~b ^ c;
+                            # no normalize: cmux takes limbs <= 2^18
+                            base = base + o * delta
                         t[(a, b, c)] = base
-            highs += [t[(0, 1, 0)], t[(0, 1, 1)], t[(1, 1, 0)], t[(1, 1, 1)]]
-            lows += [t[(0, 0, 0)], t[(0, 0, 1)], t[(1, 0, 0)], t[(1, 0, 1)]]
-        highs = jnp.stack(highs)  # [4G, C, L, N]
-        lows = jnp.stack(lows)
-        bj = jnp.stack([_b_bit(op, rs2p, immp, j) for op in ops], axis=1)
-        bj = jnp.repeat(bj, 4, axis=1)  # [P, 4G, D, C, C2, Lg, N]
-        inner = circuits.cmux(params, ctx, bj, highs, lows).reshape(
-            (G, 4) + highs.shape[1:])
-        aj = jnp.repeat(rs1p[:, j : j + 1], 2 * G, axis=1)
-        F = circuits.cmux(params, ctx, aj,
-                          inner[:, 2:].reshape((2 * G,) + highs.shape[1:]),
-                          inner[:, :2].reshape((2 * G,) + highs.shape[1:]))
-        F = F.reshape((G, 2) + highs.shape[1:])
+            leaves[gi] = t
+        inner = [None] * G  # per op: [4, C, L, N] = states (a, c)
+        for is_imm, gis in src_groups.items():
+            highs = jnp.stack(
+                [leaves[gi][k] for gi in gis
+                 for k in ((0, 1, 0), (0, 1, 1), (1, 1, 0), (1, 1, 1))])
+            lows = jnp.stack(
+                [leaves[gi][k] for gi in gis
+                 for k in ((0, 0, 0), (0, 0, 1), (1, 0, 0), (1, 0, 1))])
+            bj = (immp if is_imm else rs2p)[:, j : j + 1]
+            res = circuits.cmux_keyed(
+                params, ctx, bj, highs[None], lows[None])[0]
+            for idx, gi in enumerate(gis):
+                inner[gi] = res[4 * idx : 4 * idx + 4]
+        inner = jnp.stack(inner)  # [G, 4, C, L, N]
+        aj = rs1p[:, j : j + 1]
+        F = circuits.cmux_keyed(
+            params, ctx, aj,
+            inner[:, 2:].reshape((1, 2 * G) + inner.shape[2:]),
+            inner[:, :2].reshape((1, 2 * G) + inner.shape[2:]))[0]
+        F = F.reshape((G, 2) + F.shape[1:])
     return {op: F[gi, sp[4]] for gi, (op, sp) in enumerate(zip(ops, specs))}
 
 
 def _bitwise_group(params: Params, ctx: NTTContext, ops, rs1p, rs2p, immp,
                    bits: int):
-    """All bitwise ops as one batched 4-leaf truth-table select:
-    3 batched CMuxes of batch G*bits."""
+    """All bitwise ops as one batched 4-leaf truth-table select.
+
+    Keyed CMuxes: bit j of each operand source is ONE GGSW shared by all
+    its rows (2 leaves x ops per source for the b-level, G ops for the
+    a-level), so keys stream once per (source, j) instead of per row."""
     G = len(ops)
     W = bits
 
-    def leaves(v_idx):
-        rows = []
-        for op in ops:
-            v = _BITWISE_TABLES[op][v_idx]
-            one = fheuint.trivial_word(params, [v], bits)
-            rows.append(jnp.broadcast_to(one, (W,) + one.shape))
-        return jnp.concatenate(rows, axis=0)  # [G*W, C, L, N]
+    src_groups = {}
+    for gi, op in enumerate(ops):
+        src_groups.setdefault(op in _IMM_OPS, []).append(gi)
 
-    l00, l01, l10, l11 = (leaves(i) for i in range(4))
-    b_all = jnp.concatenate(
-        [(immp if op in _IMM_OPS else rs2p)[:, :W] for op in ops], axis=1)
-    a_all = jnp.concatenate([rs1p[:, :W]] * G, axis=1)
-    hi = circuits.cmux(params, ctx, b_all, l11, l10)
-    lo = circuits.cmux(params, ctx, b_all, l01, l00)
-    out = circuits.cmux(params, ctx, a_all, hi, lo)  # [G*W, C, L, N]
-    out = out.reshape((G, W) + out.shape[1:])
-    return {op: circuits.assemble_word(params, out[gi], bits)
+    def leaf(gi, v_idx):
+        v = _BITWISE_TABLES[ops[gi]][v_idx]
+        one = fheuint.trivial_word(params, [v], bits)
+        return jnp.broadcast_to(one, (W,) + one.shape)  # [W, C, L, N]
+
+    # b-level: hi and lo arms share each key -> rows (hi_op..., lo_op...)
+    hi = [None] * G
+    lo = [None] * G
+    for is_imm, gis in src_groups.items():
+        highs = jnp.stack([leaf(gi, 3) for gi in gis]
+                          + [leaf(gi, 1) for gi in gis], axis=1)
+        lows = jnp.stack([leaf(gi, 2) for gi in gis]
+                         + [leaf(gi, 0) for gi in gis], axis=1)
+        keys = (immp if is_imm else rs2p)[:, :W]
+        res = circuits.cmux_keyed(params, ctx, keys, highs, lows)
+        for idx, gi in enumerate(gis):
+            hi[gi] = res[:, idx]
+            lo[gi] = res[:, len(gis) + idx]
+    # a-level: rs1 bit j selects for all G ops at once
+    out = circuits.cmux_keyed(params, ctx, rs1p[:, :W],
+                              jnp.stack(hi, axis=1), jnp.stack(lo, axis=1))
+    return {op: circuits.assemble_word(params, out[:, gi], bits)
             for gi, op in enumerate(ops)}
 
 
@@ -194,14 +216,30 @@ def _shift_group(params: Params, ctx: NTTContext, ops, rs1p, rs2p, immp,
                 top = jnp.broadcast_to(cur[-1], (s,) + zero.shape)
                 r = jnp.concatenate([cur[s:], top], 0)
             rolled.append(r)
-        rolled = jnp.stack(rolled).reshape((G * W,) + zero.shape)
-        bk = jnp.concatenate(
-            [jnp.repeat((immp if op in _IMM_OPS else rs2p)[:, k : k + 1],
-                        W, axis=1) for op in ops], axis=1)
-        flat = slots.reshape((G * W,) + zero.shape)
-        slots = circuits.cmux(params, ctx, bk, rolled, flat).reshape(slots.shape)
+        rolled = jnp.stack(rolled)  # [G, W, C, L, N]
+        # keyed: shift bit k of each operand source is ONE GGSW shared
+        # by all its Gs*W rows
+        new = [None] * G
+        for is_imm, gis in _src_groups(ops).items():
+            bk = (immp if is_imm else rs2p)[:, k : k + 1]
+            h = jnp.stack([rolled[gi] for gi in gis]).reshape(
+                (1, len(gis) * W) + zero.shape)
+            lw = jnp.stack([slots[gi] for gi in gis]).reshape(
+                (1, len(gis) * W) + zero.shape)
+            res = circuits.cmux_keyed(params, ctx, bk, h, lw)[0].reshape(
+                (len(gis), W) + zero.shape)
+            for idx, gi in enumerate(gis):
+                new[gi] = res[idx]
+        slots = jnp.stack(new)
     return {op: circuits.assemble_word(params, slots[gi], bits)
             for gi, op in enumerate(ops)}
+
+
+def _src_groups(ops):
+    groups = {}
+    for gi, op in enumerate(ops):
+        groups.setdefault(op in _IMM_OPS, []).append(gi)
+    return groups
 
 
 # --------------------------------------------------------------------------

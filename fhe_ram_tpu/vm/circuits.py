@@ -39,10 +39,25 @@ I32 = jnp.int32
 
 def cmux(params: Params, ctx: NTTContext, bit_prep, high, low):
     """low + bit*(high-low), batched: bit_prep [P, B, D, C, C2, Lg, N],
-    high/low [B, C, L, N]."""
-    diff = limb_ops.normalize(high - low)
-    sel = ggsw.external_product_batched(params, ctx, diff, bit_prep)
-    return limb_ops.normalize(low + sel)
+    high/low [B, C, L, N].
+
+    ONE kernel launch on the pallas path: high-low is fed unnormalized
+    (|limb| <= 2^17, within the kernel's 2^18.6 digit bound) and the
+    low-arm add + normalize rides the kernel epilogue."""
+    return ggsw.external_product_batched(params, ctx, high - low, bit_prep,
+                                         base=low)
+
+
+def cmux_keyed(params: Params, ctx: NTTContext, bit_prep, high, low):
+    """cmux with K distinct bit GGSWs, each selecting B rows:
+    bit_prep [P, K, D, C, C2, Lg, N]; high/low [K, B, C, L, N].
+
+    The VM circuits' CMux batches reuse each bit GGSW across many rows
+    (a barrel level: one shift bit x 96 rows); the keyed form streams
+    each 2.3 MB key once instead of once per row -- the per-row form
+    measured DMA-bound (scripts/cmux_probe.py)."""
+    return ggsw.external_product_keyed(params, ctx, high - low, bit_prep,
+                                       base=low)
 
 
 def ggsw_not(params: Params, bit_prep):
@@ -118,9 +133,11 @@ def bitwise(params: Params, ctx: NTTContext, op: str, a_prep, b_prep,
         return jnp.broadcast_to(one, (bits,) + one.shape)
 
     l00, l01, l10, l11 = (leaf(t) for t in (t00, t01, t10, t11))
-    hi = cmux(params, ctx, b_prep, l11, l10)
-    lo = cmux(params, ctx, b_prep, l01, l00)
-    out_slots = cmux(params, ctx, a_prep, hi, lo)  # [W, C, L, N] bit at slot 0
+    # keyed: each bit GGSW selects both arms at once
+    res = cmux_keyed(params, ctx, b_prep,
+                     jnp.stack([l11, l01], axis=1),
+                     jnp.stack([l10, l00], axis=1))  # [W, 2, C, L, N]
+    out_slots = cmux_keyed(params, ctx, a_prep, res[:, :1], res[:, 1:])[:, 0]
     return assemble_word(params, out_slots, bits)
 
 
@@ -154,15 +171,16 @@ def _carry_dp(params: Params, ctx: NTTContext, a_prep, b_prep, bits: int,
                 for c in (0, 1):
                     o = out_bit(a, b, c) if emit_bits else 0
                     base = F[carry_out(a, b, c)]
-                    t[(a, b, c)] = limb_ops.normalize(base + o * delta)
-        # inner: CMux on b_j, batch 4: (a,c) in {0,1}^2
+                    # no normalize: cmux accepts limbs <= 2^18
+                    t[(a, b, c)] = base + o * delta
+        # inner: keyed CMux on b_j (one key, 4 rows: (a,c) in {0,1}^2)
         highs = jnp.stack([t[(0, 1, 0)], t[(0, 1, 1)], t[(1, 1, 0)], t[(1, 1, 1)]])
         lows = jnp.stack([t[(0, 0, 0)], t[(0, 0, 1)], t[(1, 0, 0)], t[(1, 0, 1)]])
-        bj = jnp.broadcast_to(b_prep[:, j : j + 1], (b_prep.shape[0], 4) + b_prep.shape[2:])
-        inner = cmux(params, ctx, bj, highs, lows)  # [4, C, L, N]
-        # outer: CMux on a_j, batch 2 (states c=0,1)
-        aj = jnp.broadcast_to(a_prep[:, j : j + 1], (a_prep.shape[0], 2) + a_prep.shape[2:])
-        F = cmux(params, ctx, aj, inner[2:], inner[:2])  # [2, C, L, N]
+        inner = cmux_keyed(params, ctx, b_prep[:, j : j + 1],
+                           highs[None], lows[None])[0]  # [4, C, L, N]
+        # outer: keyed CMux on a_j (one key, states c=0,1)
+        F = cmux_keyed(params, ctx, a_prep[:, j : j + 1],
+                       inner[None, 2:], inner[None, :2])[0]  # [2, C, L, N]
     return F[0], F[1]
 
 
@@ -221,10 +239,10 @@ def _carry_dp_msbflip(params, ctx, a_prep, b_prep, bits):
                     t[(a, b, c)] = F[(aa + (1 - bb) + c) >> 1]
         highs = jnp.stack([t[(0, 1, 0)], t[(0, 1, 1)], t[(1, 1, 0)], t[(1, 1, 1)]])
         lows = jnp.stack([t[(0, 0, 0)], t[(0, 0, 1)], t[(1, 0, 0)], t[(1, 0, 1)]])
-        bj = jnp.broadcast_to(b_prep[:, j : j + 1], (b_prep.shape[0], 4) + b_prep.shape[2:])
-        inner = cmux(params, ctx, bj, highs, lows)
-        aj = jnp.broadcast_to(a_prep[:, j : j + 1], (a_prep.shape[0], 2) + a_prep.shape[2:])
-        F = cmux(params, ctx, aj, inner[2:], inner[:2])
+        inner = cmux_keyed(params, ctx, b_prep[:, j : j + 1],
+                           highs[None], lows[None])[0]
+        F = cmux_keyed(params, ctx, a_prep[:, j : j + 1],
+                       inner[None, 2:], inner[None, :2])[0]
     return F[0], F[1]
 
 
@@ -264,6 +282,6 @@ def shift(params: Params, ctx: NTTContext, word, sh_prep, atk, kind: str,
         else:  # sra: fill high with the sign slot (current top)
             top = jnp.broadcast_to(slots[-1], (s,) + zero.shape)
             rolled = jnp.concatenate([slots[s:], top], axis=0)
-        bk = jnp.broadcast_to(sh_prep[:, k : k + 1], (sh_prep.shape[0], W) + sh_prep.shape[2:])
-        slots = cmux(params, ctx, bk, rolled, slots)
+        slots = cmux_keyed(params, ctx, sh_prep[:, k : k + 1],
+                           rolled[None], slots[None])[0]
     return assemble_word(params, slots, bits)

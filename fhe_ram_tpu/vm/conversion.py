@@ -67,8 +67,8 @@ def scalar_to_ggsw_blind_rotation(params: Params, ctx: NTTContext, tv,
             amount = -amount
         high = poly.rotate(rows, amount)
         bit = fheuint_prep[:, rsh + j : rsh + j + 1]
-        bitb = jnp.broadcast_to(bit, (bit.shape[0], D * C) + bit.shape[2:])
-        rows = circuits.cmux(params, ctx, bitb, high, rows)
+        # keyed: ONE bit GGSW selects all D*C rows
+        rows = circuits.cmux_keyed(params, ctx, bit, high[None], rows[None])[0]
     return rows.reshape(D, C, C2, Lg, n)
 
 

@@ -172,6 +172,22 @@ def test_fused_fold_chain_matches_sequential():
     assert np.array_equal(np.asarray(got[0]), np.asarray(want0))
     assert np.array_equal(np.asarray(got[1]), np.asarray(want1))
 
+    # per-item base fusion (VM CMux): normalize(base + conv) in-epilogue,
+    # tbf=1 (no padding waste for B == 1 rows)
+    from fhe_ram_tpu.ops import limb as limb_ops
+    basev = jnp.asarray(
+        rnd.integers(-(1 << 16), 1 << 16, size=(2, B, C2, Lout, N)), jnp.int32)
+    gotb = fused_external_fold_batched(PCTX, xb, kb, Lout, C2,
+                                       base=basev, tbf=1, interpret=True)
+    for a in range(2):
+        raw = fused_external_fold_batched(PCTX, xb[a : a + 1], kb[a : a + 1],
+                                          Lout, C2, tbf=1, interpret=True)[0]
+        tf = limb_ops.torus_float
+        want = limb_ops.normalize(basev[a] + raw)
+        d = np.abs(tf(np.asarray(gotb[a])) - tf(np.asarray(want)))
+        d = np.minimum(d, 1.0 - d)
+        assert d.max() < 2.0 ** -49, (a, d.max())
+
     # SHARED-spectral chained variant (batched level-0): one spectral
     # operand for every item, digit 0 consumes it, digit 1 transforms
     # the VMEM carry -- must equal the per-item coefficient chain
