@@ -127,19 +127,29 @@ def _dp_group(params: Params, ctx: NTTContext, ops, rs1p, rs2p, immp,
                             base = base + o * delta
                         t[(a, b, c)] = base
             leaves[gi] = t
+        # ONE keyed call for the whole b-phase: K = #sources, the
+        # smaller source group zero-padded to a rectangular row count
+        # (zero rows are inert through the kernel)
+        groups = list(src_groups.items())
+        rows_max = 4 * max(len(gis) for _, gis in groups)
+        hstack, lstack, keys_b = [], [], []
+        for is_imm, gis in groups:
+            hh = [leaves[gi][k] for gi in gis
+                  for k in ((0, 1, 0), (0, 1, 1), (1, 1, 0), (1, 1, 1))]
+            ll = [leaves[gi][k] for gi in gis
+                  for k in ((0, 0, 0), (0, 0, 1), (1, 0, 0), (1, 0, 1))]
+            pad = rows_max - len(hh)
+            zero = jnp.zeros_like(hh[0])
+            hstack.append(jnp.stack(hh + [zero] * pad))
+            lstack.append(jnp.stack(ll + [zero] * pad))
+            keys_b.append((immp if is_imm else rs2p)[:, j : j + 1])
+        res = circuits.cmux_keyed(
+            params, ctx, jnp.concatenate(keys_b, axis=1),
+            jnp.stack(hstack), jnp.stack(lstack))
         inner = [None] * G  # per op: [4, C, L, N] = states (a, c)
-        for is_imm, gis in src_groups.items():
-            highs = jnp.stack(
-                [leaves[gi][k] for gi in gis
-                 for k in ((0, 1, 0), (0, 1, 1), (1, 1, 0), (1, 1, 1))])
-            lows = jnp.stack(
-                [leaves[gi][k] for gi in gis
-                 for k in ((0, 0, 0), (0, 0, 1), (1, 0, 0), (1, 0, 1))])
-            bj = (immp if is_imm else rs2p)[:, j : j + 1]
-            res = circuits.cmux_keyed(
-                params, ctx, bj, highs[None], lows[None])[0]
+        for si, (is_imm, gis) in enumerate(groups):
             for idx, gi in enumerate(gis):
-                inner[gi] = res[4 * idx : 4 * idx + 4]
+                inner[gi] = res[si, 4 * idx : 4 * idx + 4]
         inner = jnp.stack(inner)  # [G, 4, C, L, N]
         aj = rs1p[:, j : j + 1]
         F = circuits.cmux_keyed(
