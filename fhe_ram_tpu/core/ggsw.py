@@ -85,7 +85,7 @@ def prepare(ctx: NTTContext, ggsw):
 
 def external_product_batched(params: Params, ctx: NTTContext, ct, ggsw_ntt,
                              out_limbs: int | None = None, base=None,
-                             sign: int = 1):
+                             sign: int = 1, interpret: bool = False):
     """Batched GLWE x GGSW where each batch element has its own GGSW.
 
     ct: int32[B, C, L, N]; ggsw_ntt: int32[P, B, D, C, C2, Lg, N].
@@ -118,7 +118,8 @@ def external_product_batched(params: Params, ctx: NTTContext, ct, ggsw_ntt,
         keys = jnp.moveaxis(keys, 1, 0)[:, :, None]  # [B, P, 1, T, M, N]
         bb = None if base is None else base.reshape(B, 1, C2, Lout, n)
         out = fused_external_fold_batched(pctx, x, keys, Lout, C2,
-                                          base=bb, sign=sign, tbf=1)
+                                          base=bb, sign=sign, tbf=1,
+                                          interpret=interpret)
         return out.reshape(B, C2, Lout, n)
 
     dig_ntt = ntt_fwd(ctx, ct)  # [P, B, C, D, N]
@@ -141,7 +142,7 @@ def external_product_batched(params: Params, ctx: NTTContext, ct, ggsw_ntt,
 
 def external_product_keyed(params: Params, ctx: NTTContext, ct, ggsw_ntt,
                            out_limbs: int | None = None, base=None,
-                           sign: int = 1):
+                           sign: int = 1, interpret: bool = False):
     """GLWE x GGSW with K distinct GGSWs, each applied to B rows:
     ct: int32[K, B, C, L, N]; ggsw_ntt: int32[P, K, D, C, C2, Lg, N];
     base: optional int32[K, B, C2, Lout, N].
@@ -168,7 +169,7 @@ def external_product_keyed(params: Params, ctx: NTTContext, ct, ggsw_ntt,
         keys = jnp.moveaxis(keys, 1, 0)[:, :, None]  # [K, P, 1, T, M, N]
         out = fused_external_fold_batched(pctx, x, keys, Lout, C2,
                                           base=base, sign=sign,
-                                          tbf=min(2, B))
+                                          tbf=min(2, B), interpret=interpret)
         return out
 
     # composed fallback: expand to the per-item form

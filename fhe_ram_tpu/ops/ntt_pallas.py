@@ -1613,3 +1613,426 @@ def fused_pack_merge_pallas(ctx: NTTPallasContext, A, B, t_rot: int,
         interpret=interpret,
     )(a, b, k5, *ptabs, cdig, rdig, ew)
     return out[:nb].reshape(nb, C2, L, n)
+
+
+# --------------------------------------------------------------------------
+# fused carry-DP CHAIN: the VM adder/comparator 2-state dynamic program
+# (vm/arithmetic._dp_group; reference BDD circuits consumed at
+# src/arithmetic.rs:84-102) in ONE kernel launch
+# --------------------------------------------------------------------------
+#
+# The DP walks the word MSB->LSB; per bit it CMuxes the 2-state F on the
+# b-operand bit (4 leaves per op) then on the a-operand bit.  As separate
+# launches that is 2*bits sequential keyed external products, each paying
+# dispatch glue (~1.3 ms/call measured, scripts/vm_phase_probe.py) on
+# ~us of kernel work.  Here the whole chain rides one sequential grid
+# (bits, n_src_groups + 1): the per-op state F[G, 2] and the inner
+# results inner[G, 4] persist in VMEM scratch, each grid step streams
+# exactly ONE bit-GGSW (the step's operand-source key), and the leaf
+# combinations (F gathers +- the emitted-bit plaintext delta) are
+# compile-time tables applied in-VMEM.  The slt/slti MSB complement
+# (bias trick) is a second static table variant selected on d == 0.
+
+_DPRB = int(os.environ.get("FHERAM_DPRB", "4"))  # VMP rows per sub-block
+
+
+def _dp_leaf_tables(emit: bool, subtab: bool, flip: bool, a: int, c: int,
+                    flip_now: bool):
+    """Static per-(op, a, c) leaf coefficients, mirroring
+    vm/arithmetic._dp_group's in-python table: returns
+    (co0, co1, ob0, ob1) = carry-out / emitted bit for b = 0, 1."""
+    co = {}
+    ob = {}
+    for b in (0, 1):
+        aa = 1 - a if (flip and flip_now) else a
+        bb = 1 - b if (flip and flip_now) else b
+        eff = (1 - bb) if subtab else bb
+        co[b] = (aa + eff + c) >> 1
+        if emit:
+            ob[b] = (aa ^ eff ^ c) if subtab else (aa ^ bb ^ c)
+        else:
+            ob[b] = 0
+    return co[0], co[1], ob[0], ob[1]
+
+
+def _dp_chain_kernel_factory(primes, G: int, C2: int, L: int, Lk: int,
+                             bits: int, groups, op_tables,
+                             base2k: int = 17):
+    """groups: tuple of tuples of op indices (one per b-operand source);
+    op_tables[gi] = (emit, subtab, flip) static circuit spec per op."""
+    P = len(primes)
+    T = C2 * L          # external product consumes ALL ct components
+    M = C2 * Lk
+    NG = len(groups)
+
+    def kernel(f0_ref, k_ref, d_ref, cdig_ref, rdig_ref, ew_ref, o_ref,
+               F_ref, inner_ref):
+        d = pl.program_id(0)
+        s = pl.program_id(1)
+        pp = [np.int32(q) for q in primes]
+        ip = [np.float32(1.0 / q) for q in primes]
+
+        @pl.when((d == 0) & (s == 0))
+        def _():
+            F_ref[...] = f0_ref[...]
+
+        def inv_fn(p, y):
+            return _inv_tile_mxu(y, cdig_ref[p], rdig_ref[p], ew_ref[p],
+                                 pp[p], ip[p])
+
+        def vmp_rows(Xrows, brows):
+            """R independent external-product rows against THIS step's
+            key: X (unnormalized digits, |limb| <= 1.5*2^17) -> fwd NTT
+            -> VMP -> inv NTT -> CRT fold -> base + normalize.  Rows run
+            in _DPRB sub-blocks to bound live spectra."""
+            R = len(Xrows)
+            outs = []
+            for r0 in range(0, R, _DPRB):
+                xb = jnp.stack(Xrows[r0:r0 + _DPRB])  # [rb, T, SL, LN]
+                bb = jnp.stack(brows[r0:r0 + _DPRB])  # [rb, C2*L, SL, LN]
+                specs = [_fwd_tile_mxu(xb, cdig_ref[p], rdig_ref[p],
+                                       ew_ref[p], pp[p], ip[p])
+                         for p in range(P)]
+                rsb = _vmp_invntt(specs, lambda p, t, m: k_ref[0, 0, p, t, m],
+                                  T, M, primes, inv_fn)
+                acc = _garner_fold_acc(rsb, primes, C2, Lk, L, base2k)
+                base_fn = lambda c2i, l: bb[:, c2i * L + l]
+                zero = jnp.zeros_like(xb[:, 0])
+                res = jnp.stack(_carry_normalize(acc, base_fn, 1, zero,
+                                                 base2k), axis=1)
+                outs.extend(res[i].reshape(C2, L, _SL, _LN)
+                            for i in range(res.shape[0]))
+            return outs  # R tiles [C2, L, SL, LN]
+
+        # b-operand phases: leaves from F (+ delta), write inner[gi]
+        for si in range(NG):
+            @pl.when(s == si)
+            def _(si=si):
+                F = F_ref[...]              # [G, 2, C2, L, SL, LN]
+                delta = d_ref[0]            # [C2, L, SL, LN]
+                dfirst = d == 0
+                Xrows, brows, sinks = [], [], []
+                for gi in groups[si]:
+                    emit, subtab, flip = op_tables[gi]
+                    for rc, (a, c) in enumerate(
+                            ((0, 0), (0, 1), (1, 0), (1, 1))):
+                        variants = []
+                        for fn in (False, True) if flip else (False,):
+                            co0, co1, ob0, ob1 = _dp_leaf_tables(
+                                emit, subtab, flip, a, c, fn)
+                            x = F[gi, co1] - F[gi, co0]
+                            if ob1 - ob0:
+                                x = x + (ob1 - ob0) * delta
+                            b_ = F[gi, co0]
+                            if ob0:
+                                b_ = b_ + ob0 * delta
+                            variants.append((x, b_))
+                        if flip:
+                            x = jnp.where(dfirst, variants[1][0],
+                                          variants[0][0])
+                            b_ = jnp.where(dfirst, variants[1][1],
+                                           variants[0][1])
+                        else:
+                            x, b_ = variants[0]
+                        Xrows.append(x.reshape(T, _SL, _LN))
+                        brows.append(b_.reshape(C2 * L, _SL, _LN))
+                        sinks.append((gi, rc))
+                for (gi, rc), res in zip(sinks, vmp_rows(Xrows, brows)):
+                    inner_ref[gi, rc] = res
+
+        # a-operand phase: rows from inner, write F (and the output at
+        # the last bit)
+        @pl.when(s == NG)
+        def _():
+            inner = inner_ref[...]          # [G, 4, C2, L, SL, LN]
+            Xrows, brows = [], []
+            for gi in range(G):
+                for c in (0, 1):
+                    hi = inner[gi, 2 + c]   # inner row order: (a, c)
+                    lo = inner[gi, c]
+                    Xrows.append((hi - lo).reshape(T, _SL, _LN))
+                    brows.append(lo.reshape(C2 * L, _SL, _LN))
+            res = vmp_rows(Xrows, brows)
+            for gi in range(G):
+                for c in (0, 1):
+                    F_ref[gi, c] = res[2 * gi + c]
+
+            @pl.when(d == bits - 1)
+            def _():
+                o_ref[...] = F_ref[...]
+
+    return kernel
+
+
+def _bitwise_kernel_factory(primes, G: int, C2: int, L: int, Lk: int,
+                            groups, base2k: int = 17):
+    """Per-bit truth-table select (vm/arithmetic._bitwise_group): for
+    every word bit j (independent chains, unlike the carry DP):
+    phase si: inner[gi] = (CMux(b_j; l11, l10), CMux(b_j; l01, l00));
+    final phase: out[gi] = CMux(a_j; inner_hi, inner_lo).  Leaves are
+    constant trivial words; grid (W, NG+1) streams one key per step."""
+    P = len(primes)
+    T = C2 * L
+    M = C2 * Lk
+    NG = len(groups)
+
+    def kernel(hi_ref, lo_ref, k_ref, cdig_ref, rdig_ref, ew_ref, o_ref,
+               inner_ref):
+        s = pl.program_id(1)
+        pp = [np.int32(q) for q in primes]
+        ip = [np.float32(1.0 / q) for q in primes]
+
+        def inv_fn(p, y):
+            return _inv_tile_mxu(y, cdig_ref[p], rdig_ref[p], ew_ref[p],
+                                 pp[p], ip[p])
+
+        def vmp_rows(Xrows, brows):
+            R = len(Xrows)
+            outs = []
+            for r0 in range(0, R, _DPRB):
+                xb = jnp.stack(Xrows[r0:r0 + _DPRB])
+                bb = jnp.stack(brows[r0:r0 + _DPRB])
+                specs = [_fwd_tile_mxu(xb, cdig_ref[p], rdig_ref[p],
+                                       ew_ref[p], pp[p], ip[p])
+                         for p in range(P)]
+                rsb = _vmp_invntt(specs, lambda p, t, m: k_ref[0, 0, p, t, m],
+                                  T, M, primes, inv_fn)
+                acc = _garner_fold_acc(rsb, primes, C2, Lk, L, base2k)
+                base_fn = lambda c2i, l: bb[:, c2i * L + l]
+                zero = jnp.zeros_like(xb[:, 0])
+                res = jnp.stack(_carry_normalize(acc, base_fn, 1, zero,
+                                                 base2k), axis=1)
+                outs.extend(res[i].reshape(C2, L, _SL, _LN)
+                            for i in range(res.shape[0]))
+            return outs
+
+        for si in range(NG):
+            @pl.when(s == si)
+            def _(si=si):
+                hi = hi_ref[...]  # [G, 2, C2, L, SL, LN] leaves (l11,l01)
+                lo = lo_ref[...]  # [G, 2, C2, L, SL, LN] leaves (l10,l00)
+                Xrows, brows, sinks = [], [], []
+                for gi in groups[si]:
+                    for rc in (0, 1):
+                        Xrows.append((hi[gi, rc] - lo[gi, rc]).reshape(
+                            T, _SL, _LN))
+                        brows.append(lo[gi, rc].reshape(C2 * L, _SL, _LN))
+                        sinks.append((gi, rc))
+                for (gi, rc), res in zip(sinks, vmp_rows(Xrows, brows)):
+                    inner_ref[gi, rc] = res
+
+        @pl.when(s == NG)
+        def _():
+            inner = inner_ref[...]
+            Xrows, brows = [], []
+            for gi in range(G):
+                Xrows.append((inner[gi, 0] - inner[gi, 1]).reshape(
+                    T, _SL, _LN))
+                brows.append(inner[gi, 1].reshape(C2 * L, _SL, _LN))
+            res = vmp_rows(Xrows, brows)
+            for gi in range(G):
+                o_ref[0, gi] = res[gi]
+
+    return kernel
+
+
+def fused_bitwise_pallas(ctx: NTTPallasContext, leaves_hi, leaves_lo,
+                         keys_stacked, groups, interpret: bool = False):
+    """All W bits of the VM bitwise group in ONE kernel launch.
+
+    leaves_hi/leaves_lo: int32[G, 2, C2, L, N] constant truth-table arm
+    words ((l11, l01) / (l10, l00) per op); keys_stacked:
+    int32[W, NG+1, P, T, M, N] per-bit prepared GGSWs (one per b-operand
+    source group, then the a key); groups: per-source op index tuples.
+    Returns int32[W, G, C2, L, N]: bit j's selected slot word per op,
+    bit-exact vs the composed two-level keyed-CMux path."""
+    assert _USE_MXU, "fused bitwise requires the MXU kernel family"
+    n = ctx.n
+    G, two, C2, L, n_ = leaves_hi.shape
+    W, NGp1, P, T, M, n3 = keys_stacked.shape
+    assert two == 2 and n_ == n and n3 == n
+    assert T == C2 * L and M % C2 == 0 and NGp1 == len(groups) + 1
+    assert sorted(gi for g in groups for gi in g) == list(range(G))
+    Lk = M // C2
+
+    hi = leaves_hi.reshape(G, 2, C2, L, _SL, _LN)
+    lo = leaves_lo.reshape(G, 2, C2, L, _SL, _LN)
+    k7 = keys_stacked.reshape(W, NGp1, P, T, M, _SL, _LN)
+    cdig, rdig, ew = _mxu_tables(ctx)
+
+    lf_spec = pl.BlockSpec((G, 2, C2, L, _SL, _LN),
+                           lambda j, s: (0, 0, 0, 0, 0, 0))
+    in_specs = [
+        lf_spec, lf_spec,
+        pl.BlockSpec((1, 1, P, T, M, _SL, _LN),
+                     lambda j, s: (j, s, 0, 0, 0, 0, 0)),
+        pl.BlockSpec((P, 2, 3, _SL, _SL), lambda j, s: (0, 0, 0, 0, 0)),
+        pl.BlockSpec((P, 2, 3, _LN, _LN), lambda j, s: (0, 0, 0, 0, 0)),
+        pl.BlockSpec((P, 2, _SL, _LN), lambda j, s: (0, 0, 0, 0)),
+    ]
+    out = pl.pallas_call(
+        _bitwise_kernel_factory(ctx.primes, G, C2, L, Lk, groups),
+        grid=(W, NGp1),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, G, C2, L, _SL, _LN),
+                               lambda j, s: (j, 0, 0, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((W, G, C2, L, _SL, _LN), I32),
+        scratch_shapes=[pltpu.VMEM((G, 2, C2, L, _SL, _LN), I32)],
+        interpret=interpret,
+    )(hi, lo, k7, cdig, rdig, ew)
+    return out.reshape(W, G, C2, L, n)
+
+
+def _brot_kernel_factory(primes, C2: int, Lc: int, Lk: int, S: int,
+                         base2k: int = 17):
+    """Blind-rotation CMux chain: per step s,
+    rows <- normalize(rows + conv(X^t_s rows - rows, GGSW_s)), the
+    rotation applied in-VMEM via the signed permutation tables."""
+    P = len(primes)
+    T = C2 * Lc
+    M = C2 * Lk
+
+    def kernel(x_ref, k_ref, pl_ref, ps_ref, wm_ref, sg_ref,
+               cdig_ref, rdig_ref, ew_ref, o_ref, ct_ref):
+        s = pl.program_id(1)
+
+        @pl.when(s == 0)
+        def _():
+            ct_ref[...] = x_ref[...]
+
+        ct = ct_ref[...]  # [tbt, C2, Lc, SL, LN] normalized limbs
+        pp = [np.int32(q) for q in primes]
+        ip = [np.float32(1.0 / q) for q in primes]
+
+        rot = _perm_apply(ct, pl_ref[0], ps_ref[0], wm_ref[0], sg_ref[0])
+        digs = (rot - ct).reshape(ct.shape[0], T, _SL, _LN)
+        specs = [_fwd_tile_mxu(digs, cdig_ref[p], rdig_ref[p], ew_ref[p],
+                               pp[p], ip[p]) for p in range(P)]
+
+        def inv_fn(p, y):
+            return _inv_tile_mxu(y, cdig_ref[p], rdig_ref[p], ew_ref[p],
+                                 pp[p], ip[p])
+
+        rsb = _vmp_invntt(specs, lambda p, t, m: k_ref[0, p, t, m],
+                          T, M, primes, inv_fn)
+        acc = _garner_fold_acc(rsb, primes, C2, Lk, Lc, base2k)
+        base_fn = lambda c2i, l: ct[:, c2i, l]
+        zero = jnp.zeros_like(ct[:, 0, 0])
+        outs = _carry_normalize(acc, base_fn, 1, zero, base2k)
+        res = jnp.stack(outs, axis=1).reshape(ct.shape)
+        ct_ref[...] = res
+
+        @pl.when(s == S - 1)
+        def _():
+            o_ref[...] = res
+
+    return kernel
+
+
+def fused_blind_rotate_pallas(ctx: NTTPallasContext, rows, keys_stacked,
+                              amounts, tbt: int | None = None,
+                              interpret: bool = False):
+    """A whole GLWE blind-rotation CMux chain in ONE kernel launch
+    (vm/arithmetic.glwe_blind_rotation, vm/conversion's
+    scalar_to_ggsw_blind_rotation; reference GLWEBlindRotation consumed
+    at src/arithmetic.rs:228, src/store.rs:62-64, src/conversion.rs:51).
+
+    rows: int32[B, C2, Lc, N] normalized chain state; keys_stacked:
+    int32[S, P, T, M, N] prepared bit GGSWs (T = C2*Lc, M = C2*Lk);
+    amounts: S static rotation exponents (step s CMuxes rows against
+    X^amounts[s] * rows).  Returns int32[B, C2, Lc, N], bit-exact vs the
+    composed per-step CMux path."""
+    assert _USE_MXU, "fused blind rotation requires the MXU kernel family"
+    n = ctx.n
+    B, C2, Lc, n_ = rows.shape
+    S, P, T, M, n3 = keys_stacked.shape
+    assert n_ == n and n3 == n and T == C2 * Lc and M % C2 == 0
+    assert len(amounts) == S and S >= 1
+    Lk = M // C2
+    TBT = min(tbt if tbt is not None else _TBT, B)
+
+    x = rows.reshape(B, C2, Lc, _SL, _LN)
+    Bp = -(-B // TBT) * TBT
+    if Bp != B:
+        x = jnp.concatenate(
+            [x, jnp.zeros((Bp - B, C2, Lc, _SL, _LN), dtype=x.dtype)], axis=0)
+    k6 = keys_stacked.reshape(S, P, T, M, _SL, _LN)
+    ptabs = list(_stack_perm_tables(n, [(1, t % (2 * n)) for t in amounts]))
+    cdig, rdig, ew = _mxu_tables(ctx)
+
+    in_specs = [
+        pl.BlockSpec((TBT, C2, Lc, _SL, _LN), lambda b, s: (b, 0, 0, 0, 0)),
+        pl.BlockSpec((1, P, T, M, _SL, _LN), lambda b, s: (s, 0, 0, 0, 0, 0)),
+        pl.BlockSpec((1, _LN, _LN), lambda b, s: (s, 0, 0)),
+        pl.BlockSpec((1, _SL, _SL), lambda b, s: (s, 0, 0)),
+        pl.BlockSpec((1, 5, 1, _LN), lambda b, s: (s, 0, 0, 0)),
+        pl.BlockSpec((1, _SL, _LN), lambda b, s: (s, 0, 0)),
+        pl.BlockSpec((P, 2, 3, _SL, _SL), lambda b, s: (0, 0, 0, 0, 0)),
+        pl.BlockSpec((P, 2, 3, _LN, _LN), lambda b, s: (0, 0, 0, 0, 0)),
+        pl.BlockSpec((P, 2, _SL, _LN), lambda b, s: (0, 0, 0, 0)),
+    ]
+    out = pl.pallas_call(
+        _brot_kernel_factory(ctx.primes, C2, Lc, Lk, S),
+        grid=(Bp // TBT, S),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((TBT, C2, Lc, _SL, _LN),
+                               lambda b, s: (b, 0, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((Bp, C2, Lc, _SL, _LN), I32),
+        scratch_shapes=[pltpu.VMEM((TBT, C2, Lc, _SL, _LN), I32)],
+        interpret=interpret,
+    )(x, k6, *ptabs, cdig, rdig, ew)
+    return out[:B].reshape(B, C2, Lc, n)
+
+
+def fused_dp_chain_pallas(ctx: NTTPallasContext, F0, keys_stacked, deltas,
+                          op_tables, groups, interpret: bool = False):
+    """The whole VM carry-DP chain in ONE kernel launch.
+
+    F0: int32[G, 2, C2, L, N] initial per-op 2-state (normalized);
+    keys_stacked: int32[bits, NG+1, P, T, M, N] prepared bit GGSWs in
+      STEP order (MSB first): per step, one key per b-operand source
+      group then the a-operand key (T = C2*L, M = C2*Lk);
+    deltas: int32[bits, C2, L, N] per-step emitted-bit plaintext words;
+    op_tables[gi] = (emit, subtab, flip); groups = per-source op index
+    tuples.  Returns int32[G, 2, C2, L, N] == the composed
+    vm/arithmetic._dp_group loop, bit-exactly."""
+    assert _USE_MXU, "fused DP chain requires the MXU kernel family"
+    n = ctx.n
+    G, two, C2, L, n_ = F0.shape
+    bits, NGp1, P, T, M, n3 = keys_stacked.shape
+    assert two == 2 and n_ == n and n3 == n
+    assert T == C2 * L and M % C2 == 0
+    assert NGp1 == len(groups) + 1
+    assert sorted(gi for g in groups for gi in g) == list(range(G))
+    Lk = M // C2
+
+    f0 = F0.reshape(G, 2, C2, L, _SL, _LN)
+    k7 = keys_stacked.reshape(bits, NGp1, P, T, M, _SL, _LN)
+    dd = deltas.reshape(bits, C2, L, _SL, _LN)
+    cdig, rdig, ew = _mxu_tables(ctx)
+
+    st_spec = pl.BlockSpec((G, 2, C2, L, _SL, _LN),
+                           lambda d, s: (0, 0, 0, 0, 0, 0))
+    in_specs = [
+        st_spec,
+        pl.BlockSpec((1, 1, P, T, M, _SL, _LN),
+                     lambda d, s: (d, s, 0, 0, 0, 0, 0)),
+        pl.BlockSpec((1, C2, L, _SL, _LN), lambda d, s: (d, 0, 0, 0, 0)),
+        pl.BlockSpec((P, 2, 3, _SL, _SL), lambda d, s: (0, 0, 0, 0, 0)),
+        pl.BlockSpec((P, 2, 3, _LN, _LN), lambda d, s: (0, 0, 0, 0, 0)),
+        pl.BlockSpec((P, 2, _SL, _LN), lambda d, s: (0, 0, 0, 0)),
+    ]
+    out = pl.pallas_call(
+        _dp_chain_kernel_factory(ctx.primes, G, C2, L, Lk, bits, groups,
+                                 op_tables),
+        grid=(bits, NGp1),
+        in_specs=in_specs,
+        out_specs=st_spec,
+        out_shape=jax.ShapeDtypeStruct((G, 2, C2, L, _SL, _LN), I32),
+        scratch_shapes=[
+            pltpu.VMEM((G, 2, C2, L, _SL, _LN), I32),
+            pltpu.VMEM((G, 4, C2, L, _SL, _LN), I32),
+        ],
+        interpret=interpret,
+    )(f0, k7, dd, cdig, rdig, ew)
+    return out.reshape(G, 2, C2, L, n)

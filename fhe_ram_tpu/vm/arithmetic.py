@@ -70,7 +70,16 @@ def glwe_blind_rotation(params: Params, ctx: NTTContext, ct, prep_bits,
                         negate: bool = True):
     """Rotate ct by X^(+-(bits[start:end] << lsh)) via a CMux chain over
     the prepared bit GGSWs (reference GLWEBlindRotation; consumed at
-    src/arithmetic.rs:228, src/store.rs:62-64)."""
+    src/arithmetic.rs:228, src/store.rs:62-64).  On the pallas backend
+    the whole chain is ONE fused kernel launch."""
+    from ..ops.ntt_pallas import fused_path_active
+
+    if fused_path_active(params.n) and end > start:
+        sgn = -1 if negate else 1
+        return circuits.blind_rotate_fused(
+            params, ct[None], prep_bits, range(start, end),
+            [sgn << (k - start + lsh) for k in range(start, end)])[0]
+
     for k in range(start, end):
         amount = 1 << (k - start + lsh)
         if negate:
@@ -91,7 +100,15 @@ def _dp_group(params: Params, ctx: NTTContext, ops, rs1p, rs2p, immp,
 
     State F: [G, 2, C, L, N] -- per op, the result-so-far given carry-in
     0/1.  Per bit: one batched CMux on the b-bits (batch 4G) and one on
-    the a-bits (batch 2G)."""
+    the a-bits (batch 2G).  On the pallas backend the WHOLE chain is one
+    fused kernel launch (ops/ntt_pallas.fused_dp_chain_pallas) -- the
+    composed loop below is 2*bits sequential keyed calls whose dispatch
+    glue dominates the kernel work."""
+    from ..ops.ntt_pallas import fused_path_active
+
+    if fused_path_active(params.n):
+        return _dp_group_fused(params, ctx, ops, rs1p, rs2p, immp, bits)
+
     G = len(ops)
     specs = [_DP_SPECS[op] for op in ops]
     F = jnp.stack([
@@ -160,13 +177,60 @@ def _dp_group(params: Params, ctx: NTTContext, ops, rs1p, rs2p, immp,
     return {op: F[gi, sp[4]] for gi, (op, sp) in enumerate(zip(ops, specs))}
 
 
+def _dp_group_fused(params: Params, ctx: NTTContext, ops, rs1p, rs2p, immp,
+                    bits: int, interpret: bool = False):
+    """_dp_group as ONE fused Pallas chain launch (pallas backend,
+    N = 4096): state in VMEM, one streamed bit-GGSW per grid step.
+    Bit-exact vs the composed loop (tests/test_fused_chain.py)."""
+    from ..ops.ntt_pallas import get_pallas_context, fused_dp_chain_pallas
+
+    G = len(ops)
+    specs = [_DP_SPECS[op] for op in ops]
+    C2 = params.rank + 1
+    n = params.n
+    P = len(params.primes)
+    F0 = jnp.stack([
+        jnp.stack([fheuint.trivial_word(params, [sp[3](0)], bits),
+                   fheuint.trivial_word(params, [sp[3](1)], bits)])
+        for sp in specs
+    ])  # [G, 2, C2, L, N]
+
+    groups = tuple((is_imm, tuple(gis))
+                   for is_imm, gis in _src_groups(ops).items())
+
+    steps, dsteps = [], []
+    for d in range(bits):
+        j = bits - 1 - d
+        ks = [circuits.ggsw_key_rows(immp if is_imm else rs2p, j)
+              for is_imm, _ in groups]
+        ks.append(circuits.ggsw_key_rows(rs1p, j))
+        steps.append(jnp.stack(ks))
+        dsteps.append(circuits._delta_slot(params, j, bits))
+    keys_stacked = jnp.stack(steps)   # [bits, NG+1, P, T, M, N]
+    deltas = jnp.stack(dsteps)        # [bits, C2, L, N]
+
+    pctx = get_pallas_context(n, params.primes)
+    F = fused_dp_chain_pallas(
+        pctx, F0, keys_stacked, deltas,
+        op_tables=tuple((sp[0], sp[1], sp[2]) for sp in specs),
+        groups=tuple(gis for _, gis in groups), interpret=interpret)
+    return {op: F[gi, sp[4]] for gi, (op, sp) in enumerate(zip(ops, specs))}
+
+
 def _bitwise_group(params: Params, ctx: NTTContext, ops, rs1p, rs2p, immp,
                    bits: int):
     """All bitwise ops as one batched 4-leaf truth-table select.
 
     Keyed CMuxes: bit j of each operand source is ONE GGSW shared by all
     its rows (2 leaves x ops per source for the b-level, G ops for the
-    a-level), so keys stream once per (source, j) instead of per row."""
+    a-level), so keys stream once per (source, j) instead of per row.
+    On the pallas backend the whole two-level circuit is ONE fused
+    kernel launch (ops/ntt_pallas.fused_bitwise_pallas)."""
+    from ..ops.ntt_pallas import fused_path_active
+
+    if fused_path_active(params.n):
+        return _bitwise_group_fused(params, ctx, ops, rs1p, rs2p, immp, bits)
+
     G = len(ops)
     W = bits
 
@@ -199,6 +263,43 @@ def _bitwise_group(params: Params, ctx: NTTContext, ops, rs1p, rs2p, immp,
             for gi, op in enumerate(ops)}
 
 
+def _bitwise_group_fused(params: Params, ctx: NTTContext, ops, rs1p, rs2p,
+                         immp, bits: int, interpret: bool = False):
+    """_bitwise_group as ONE fused kernel launch (pallas backend):
+    constant truth-table leaves in VMEM, one streamed bit GGSW per grid
+    step.  Bit-exact vs the composed path (tests/test_fused_chain.py)."""
+    from ..ops.ntt_pallas import get_pallas_context, fused_bitwise_pallas
+
+    G = len(ops)
+    W = bits
+    groups_items = tuple((is_imm, tuple(gis))
+                         for is_imm, gis in _src_groups(ops).items())
+
+    def leaf(gi, v_idx):
+        return fheuint.trivial_word(
+            params, [_BITWISE_TABLES[ops[gi]][v_idx]], bits)
+
+    hi = jnp.stack([jnp.stack([leaf(gi, 3), leaf(gi, 1)])
+                    for gi in range(G)])  # [G, 2, C2, L, N]
+    lo = jnp.stack([jnp.stack([leaf(gi, 2), leaf(gi, 0)])
+                    for gi in range(G)])
+    steps = []
+    for j in range(W):
+        ks = [circuits.ggsw_key_rows(immp if is_imm else rs2p, j)
+              for is_imm, _ in groups_items]
+        ks.append(circuits.ggsw_key_rows(rs1p, j))
+        steps.append(jnp.stack(ks))
+    keys_stacked = jnp.stack(steps)  # [W, NG+1, P, T, M, N]
+
+    pctx = get_pallas_context(params.n, params.primes)
+    out = fused_bitwise_pallas(
+        pctx, hi, lo, keys_stacked,
+        tuple(gis for _, gis in groups_items),
+        interpret=interpret)  # [W, G, C2, L, N]
+    return {op: circuits.assemble_word(params, out[:, gi], bits)
+            for gi, op in enumerate(ops)}
+
+
 def _shift_group(params: Params, ctx: NTTContext, ops, rs1p, rs2p, immp,
                  atk, bits: int):
     """All shifts as one slot extraction + one batched barrel
@@ -227,19 +328,33 @@ def _shift_group(params: Params, ctx: NTTContext, ops, rs1p, rs2p, immp,
                 r = jnp.concatenate([cur[s:], top], 0)
             rolled.append(r)
         rolled = jnp.stack(rolled)  # [G, W, C, L, N]
-        # keyed: shift bit k of each operand source is ONE GGSW shared
-        # by all its Gs*W rows
-        new = [None] * G
-        for is_imm, gis in _src_groups(ops).items():
-            bk = (immp if is_imm else rs2p)[:, k : k + 1]
+        # ONE keyed call per level: shift bit k of each operand source
+        # is ONE GGSW shared by all its Gs*W rows; the smaller source
+        # group is zero-padded to a rectangular row count (zero rows are
+        # inert through the kernel)
+        groups_items = list(_src_groups(ops).items())
+        rows_max = W * max(len(gis) for _, gis in groups_items)
+        hs, ls, bks = [], [], []
+        for is_imm, gis in groups_items:
             h = jnp.stack([rolled[gi] for gi in gis]).reshape(
-                (1, len(gis) * W) + zero.shape)
+                (len(gis) * W,) + zero.shape)
             lw = jnp.stack([slots[gi] for gi in gis]).reshape(
-                (1, len(gis) * W) + zero.shape)
-            res = circuits.cmux_keyed(params, ctx, bk, h, lw)[0].reshape(
-                (len(gis), W) + zero.shape)
+                (len(gis) * W,) + zero.shape)
+            pad = rows_max - h.shape[0]
+            if pad:
+                zpad = jnp.zeros((pad,) + zero.shape, h.dtype)
+                h = jnp.concatenate([h, zpad])
+                lw = jnp.concatenate([lw, zpad])
+            hs.append(h)
+            ls.append(lw)
+            bks.append((immp if is_imm else rs2p)[:, k : k + 1])
+        res = circuits.cmux_keyed(params, ctx, jnp.concatenate(bks, axis=1),
+                                  jnp.stack(hs), jnp.stack(ls))
+        new = [None] * G
+        for si, (is_imm, gis) in enumerate(groups_items):
+            r = res[si, : len(gis) * W].reshape((len(gis), W) + zero.shape)
             for idx, gi in enumerate(gis):
-                new[gi] = res[idx]
+                new[gi] = r[idx]
         slots = jnp.stack(new)
     return {op: circuits.assemble_word(params, slots[gi], bits)
             for gi, op in enumerate(ops)}

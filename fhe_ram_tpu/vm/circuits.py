@@ -60,6 +60,31 @@ def cmux_keyed(params: Params, ctx: NTTContext, bit_prep, high, low):
                                        base=low)
 
 
+def ggsw_key_rows(prep, j):
+    """One prepared bit GGSW as VMP key rows: [P, W, D, C, C2, Lg, N]
+    bit j -> [P, C*D, C2*Lg, N] (C-major digit rows, the layout
+    ggsw.external_product_batched feeds the fused kernels)."""
+    pj = prep[:, j]
+    P, D, C, C2, Lg, n = pj.shape
+    return jnp.transpose(pj, (0, 2, 1, 3, 4, 5)).reshape(
+        P, C * D, C2 * Lg, n)
+
+
+def blind_rotate_fused(params: Params, rows, prep_bits, bit_idxs, amounts,
+                       interpret: bool = False):
+    """A CMux rotation chain (rows <- CMux(bit_j; X^a_j rows, rows)) as
+    ONE fused kernel launch; see ops/ntt_pallas.fused_blind_rotate_pallas.
+    rows: [B, C2, Lc, N]; bit_idxs/amounts: per-step bit index into
+    prep_bits and static rotation exponent."""
+    from ..ops.ntt_pallas import get_pallas_context, fused_blind_rotate_pallas
+
+    keys = jnp.stack([ggsw_key_rows(prep_bits, j) for j in bit_idxs])
+    pctx = get_pallas_context(params.n, params.primes)
+    return fused_blind_rotate_pallas(pctx, rows, keys, tuple(amounts),
+                                     tbt=min(4, rows.shape[0]),
+                                     interpret=interpret)
+
+
 def ggsw_not(params: Params, bit_prep):
     """GGSW(1 - bit) from GGSW(bit): GGSW is linear in its message and
     GGSW(1) is the (noise-free) gadget itself -- in NTT domain the gadget

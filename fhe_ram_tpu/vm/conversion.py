@@ -61,6 +61,16 @@ def scalar_to_ggsw_blind_rotation(params: Params, ctx: NTTContext, tv,
         "encrypt_prepared(..., dnum=params.dnum_ggsw, "
         "limbs=params.limbs_evk_ggsw)")
     rows = g.reshape(D * C, C2, Lg, n)
+
+    from ..ops.ntt_pallas import fused_path_active
+
+    if fused_path_active(params.n) and mask_bits > 0:
+        sgn = -1 if negate else 1
+        rows = circuits.blind_rotate_fused(
+            params, rows, fheuint_prep, range(rsh, rsh + mask_bits),
+            [sgn << (lsh + j) for j in range(mask_bits)])
+        return rows.reshape(D, C, C2, Lg, n)
+
     for j in range(mask_bits):
         amount = 1 << (lsh + j)
         if negate:

@@ -71,8 +71,25 @@ def select_store(params: Params, ctx: NTTContext, rs2, loaded, offset_prep,
     """The full selection (src/store.rs:40-67): test vector, blind-rotate
     by offset<<2 then op, partial trace."""
     res = construct_store_test_vector(params, ctx, rs2, loaded, atk, bits)
-    res = glwe_blind_rotation(params, ctx, res, offset_prep, 0, 2, lsh=2)
-    res = glwe_blind_rotation(params, ctx, res, op_prep, 0, 2, lsh=0)
+
+    from ..ops.ntt_pallas import fused_path_active
+
+    if fused_path_active(params.n):
+        # both blind rotations (offset<<2, then op) as ONE 4-step fused
+        # chain launch: the kernel takes per-step keys from any source
+        from ..ops.ntt_pallas import (get_pallas_context,
+                                      fused_blind_rotate_pallas)
+
+        keys = jnp.stack([circuits.ggsw_key_rows(offset_prep, 0),
+                          circuits.ggsw_key_rows(offset_prep, 1),
+                          circuits.ggsw_key_rows(op_prep, 0),
+                          circuits.ggsw_key_rows(op_prep, 1)])
+        pctx = get_pallas_context(params.n, params.primes)
+        res = fused_blind_rotate_pallas(pctx, res[None], keys,
+                                        (-4, -8, -1, -2), tbt=1)[0]
+    else:
+        res = glwe_blind_rotation(params, ctx, res, offset_prep, 0, 2, lsh=2)
+        res = glwe_blind_rotation(params, ctx, res, op_prep, 0, 2, lsh=0)
     keep_log = bits.bit_length() - 1
     return keyswitch.trace(params, ctx, res, atk, keep_log=keep_log)
 

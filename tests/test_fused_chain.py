@@ -125,3 +125,154 @@ def test_fused_pack_merge_matches_composed():
     want = _composed_step(v, keys, g, base_extra=u)
     got = fused_pack_merge_pallas(PCTX, A, B, t, g, keys, interpret=True)
     assert np.array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_fused_dp_chain_matches_composed(monkeypatch):
+    """The one-launch carry-DP chain (fused_dp_chain_pallas, via
+    vm/arithmetic._dp_group_fused) must be bit-exact vs the REAL
+    composed _dp_group loop run through the same interpret-mode pallas
+    kernels: same spectrum, per-bit keyed CMux calls vs in-VMEM chain.
+
+    Ops cover every static-table branch: emit (addi), subtab+emit (sub),
+    and the slt MSB-flip variant selected at grid step d == 0."""
+    from fhe_ram_tpu.params import PARAMS_README_2_18 as par
+    from fhe_ram_tpu.ops import ntt as ntt_mod
+    from fhe_ram_tpu.ops import ntt_pallas as ntt_pallas_mod
+    from fhe_ram_tpu.ops.ntt import get_ntt_context
+    from fhe_ram_tpu.core import ggsw
+    from fhe_ram_tpu.vm import arithmetic, circuits
+
+    rnd = np.random.default_rng(7)
+    bits = 4
+    ops = ("addi", "sub", "slt")
+    C = par.rank + 1
+    D = par.limbs_ct
+    Lg = 4  # key limbs (the VM bit GGSWs' k_ggsw = 68 = 4 * base2k)
+
+    def rand_prep():
+        kc = jnp.asarray(rnd.integers(
+            -3, 4, size=(bits, D, C, C, Lg, N)), jnp.int32)
+        return ntt_fwd_pallas(PCTX, kc, interpret=True)
+
+    rs1p, rs2p, immp = rand_prep(), rand_prep(), rand_prep()
+    ctx = get_ntt_context(par.n, par.primes)
+
+    # composed reference: the real _dp_group per-bit loop, with its
+    # keyed CMuxes routed through the interpret-mode pallas kernels
+    monkeypatch.setattr(ntt_pallas_mod, "fused_path_active", lambda n: False)
+    monkeypatch.setattr(ntt_mod, "get_backend", lambda: "pallas")
+    monkeypatch.setattr(
+        circuits, "cmux_keyed",
+        lambda params, cctx, bp, h, l: ggsw.external_product_keyed(
+            params, cctx, h - l, bp, base=l, interpret=True))
+    want = arithmetic._dp_group(par, ctx, ops, rs1p, rs2p, immp, bits)
+
+    got = arithmetic._dp_group_fused(par, ctx, ops, rs1p, rs2p, immp, bits,
+                                     interpret=True)
+    for op in ops:
+        assert np.array_equal(np.asarray(got[op]), np.asarray(want[op])), op
+
+
+def test_fused_bitwise_matches_composed(monkeypatch):
+    """The one-launch bitwise truth-table kernel (fused_bitwise_pallas,
+    via vm/arithmetic._bitwise_group_fused) must be bit-exact vs the
+    REAL composed two-level keyed-CMux loop run through the same
+    interpret-mode pallas kernels."""
+    from fhe_ram_tpu.params import PARAMS_README_2_18 as par
+    from fhe_ram_tpu.ops import ntt as ntt_mod
+    from fhe_ram_tpu.ops import ntt_pallas as ntt_pallas_mod
+    from fhe_ram_tpu.ops.ntt import get_ntt_context
+    from fhe_ram_tpu.core import ggsw
+    from fhe_ram_tpu.vm import arithmetic, circuits
+
+    rnd = np.random.default_rng(11)
+    bits = 4
+    ops = ("xori", "and", "or")
+    C = par.rank + 1
+    D = par.limbs_ct
+    Lg = 4
+    ctx = get_ntt_context(par.n, par.primes)
+
+    def rand_prep():
+        kc = jnp.asarray(rnd.integers(
+            -3, 4, size=(bits, D, C, C, Lg, N)), jnp.int32)
+        return ntt_fwd_pallas(PCTX, kc, interpret=True)
+
+    rs1p, rs2p, immp = rand_prep(), rand_prep(), rand_prep()
+
+    monkeypatch.setattr(ntt_pallas_mod, "fused_path_active", lambda n: False)
+    monkeypatch.setattr(ntt_mod, "get_backend", lambda: "pallas")
+    monkeypatch.setattr(
+        circuits, "cmux_keyed",
+        lambda params, cctx, bp, h, l: ggsw.external_product_keyed(
+            params, cctx, h - l, bp, base=l, interpret=True))
+    want = arithmetic._bitwise_group(par, ctx, ops, rs1p, rs2p, immp, bits)
+
+    got = arithmetic._bitwise_group_fused(par, ctx, ops, rs1p, rs2p, immp,
+                                          bits, interpret=True)
+    for op in ops:
+        assert np.array_equal(np.asarray(got[op]), np.asarray(want[op])), op
+
+
+def test_fused_blind_rotate_matches_composed(monkeypatch):
+    """The one-launch blind-rotation chain (fused_blind_rotate_pallas)
+    must be bit-exact vs the REAL composed CMux loops in
+    vm/arithmetic.glwe_blind_rotation and
+    vm/conversion.scalar_to_ggsw_blind_rotation, run through the same
+    interpret-mode pallas kernels."""
+    from fhe_ram_tpu.params import PARAMS_README_2_18 as par
+    from fhe_ram_tpu.ops import ntt as ntt_mod
+    from fhe_ram_tpu.ops import ntt_pallas as ntt_pallas_mod
+    from fhe_ram_tpu.ops.ntt import get_ntt_context
+    from fhe_ram_tpu.core import ggsw
+    from fhe_ram_tpu.vm import arithmetic, circuits, conversion
+
+    rnd = np.random.default_rng(9)
+    C2 = par.rank + 1
+    L = par.limbs_ct
+    Lg = 4
+    W = 6
+    ctx = get_ntt_context(par.n, par.primes)
+
+    def rand_prep(D, Lgk):
+        kc = jnp.asarray(rnd.integers(
+            -3, 4, size=(W, D, C2, C2, Lgk, N)), jnp.int32)
+        return ntt_fwd_pallas(PCTX, kc, interpret=True)
+
+    monkeypatch.setattr(ntt_pallas_mod, "fused_path_active", lambda n: False)
+    monkeypatch.setattr(ntt_mod, "get_backend", lambda: "pallas")
+    monkeypatch.setattr(
+        circuits, "cmux",
+        lambda params, cctx, bp, h, l: ggsw.external_product_batched(
+            params, cctx, h - l, bp, base=l, interpret=True))
+    monkeypatch.setattr(
+        circuits, "cmux_keyed",
+        lambda params, cctx, bp, h, l: ggsw.external_product_keyed(
+            params, cctx, h - l, bp, base=l, interpret=True))
+
+    # arithmetic path: single ct, L ct limbs, negated amounts with lsh
+    prep = rand_prep(L, Lg)
+    ct = jnp.asarray(
+        rnd.integers(-(1 << 16), 1 << 16, size=(C2, L, N)), jnp.int32)
+    want = arithmetic.glwe_blind_rotation(par, ctx, ct, prep, 1, 4, lsh=2)
+    got = circuits.blind_rotate_fused(
+        par, ct[None], prep, range(1, 4),
+        [-1 << (k - 1 + 2) for k in range(1, 4)], interpret=True)[0]
+    assert np.array_equal(np.asarray(got), np.asarray(want))
+
+    # conversion path: D*C2 rows at the GGSW parameterization (exercises
+    # the TBT row blocking), positive amounts
+    D = par.limbs_ggsw
+    prep_g = rand_prep(D, par.limbs_evk_ggsw)
+    tv = np.zeros(par.n, dtype=np.int32)
+    tv[0] = 1
+    want = conversion.scalar_to_ggsw_blind_rotation(
+        par, ctx, tv, prep_g, rsh=2, mask_bits=3, lsh=1, negate=False)
+    real_brf = circuits.blind_rotate_fused
+    monkeypatch.setattr(ntt_pallas_mod, "fused_path_active", lambda n: True)
+    monkeypatch.setattr(
+        circuits, "blind_rotate_fused",
+        lambda *a, **kw: real_brf(*a, **{**kw, "interpret": True}))
+    got = conversion.scalar_to_ggsw_blind_rotation(
+        par, ctx, tv, prep_g, rsh=2, mask_bits=3, lsh=1, negate=False)
+    assert np.array_equal(np.asarray(got), np.asarray(want))
