@@ -122,6 +122,7 @@ def external_product_batched(params: Params, ctx: NTTContext, ct, ggsw_ntt,
                                           interpret=interpret)
         return out.reshape(B, C2, Lout, n)
 
+    assert not interpret, "interpret= applies to the fused pallas path only"
     dig_ntt = ntt_fwd(ctx, ct)  # [P, B, C, D, N]
     p, ip = ctx.consts(5)
     acc = jnp.zeros((P, B, C2, Lg, n), dtype=I32)
@@ -173,6 +174,7 @@ def external_product_keyed(params: Params, ctx: NTTContext, ct, ggsw_ntt,
         return out
 
     # composed fallback: expand to the per-item form
+    assert not interpret, "interpret= applies to the fused pallas path only"
     gg = jnp.broadcast_to(ggsw_ntt[:, :, None],
                           (P, K, B, D, C, C2, Lg, n)).reshape(
                               P, K * B, D, C, C2, Lg, n)

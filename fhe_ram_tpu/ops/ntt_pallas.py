@@ -1636,6 +1636,44 @@ def fused_pack_merge_pallas(ctx: NTTPallasContext, A, B, t_rot: int,
 _DPRB = int(os.environ.get("FHERAM_DPRB", "4"))  # VMP rows per sub-block
 
 
+def _vmp_rows_blocked(Xrows, brows, key_fn, tabs, primes, T, M, C2, Lk, L,
+                      base2k):
+    """R independent external-product rows against one step's key:
+    X (unnormalized digits, |limb| <= 1.5*2^17) -> fwd NTT -> VMP ->
+    inv NTT -> CRT fold -> base + normalize.  Rows run in _DPRB
+    sub-blocks to bound live spectra.  Shared by the DP-chain and
+    bitwise chain kernels (the blind-rotate kernel's variant differs:
+    batched tiles, base = the chain state itself).
+
+    tabs = (cdig_ref, rdig_ref, ew_ref); key_fn(p, t, m) -> key tile."""
+    cdig_ref, rdig_ref, ew_ref = tabs
+    P = len(primes)
+    pp = [np.int32(q) for q in primes]
+    ip = [np.float32(1.0 / q) for q in primes]
+
+    def inv_fn(p, y):
+        return _inv_tile_mxu(y, cdig_ref[p], rdig_ref[p], ew_ref[p],
+                             pp[p], ip[p])
+
+    R = len(Xrows)
+    outs = []
+    for r0 in range(0, R, _DPRB):
+        xb = jnp.stack(Xrows[r0:r0 + _DPRB])  # [rb, T, SL, LN]
+        bb = jnp.stack(brows[r0:r0 + _DPRB])  # [rb, C2*L, SL, LN]
+        specs = [_fwd_tile_mxu(xb, cdig_ref[p], rdig_ref[p],
+                               ew_ref[p], pp[p], ip[p])
+                 for p in range(P)]
+        rsb = _vmp_invntt(specs, key_fn, T, M, primes, inv_fn)
+        acc = _garner_fold_acc(rsb, primes, C2, Lk, L, base2k)
+        base_fn = lambda c2i, l: bb[:, c2i * L + l]
+        zero = jnp.zeros_like(xb[:, 0])
+        res = jnp.stack(_carry_normalize(acc, base_fn, 1, zero,
+                                         base2k), axis=1)
+        outs.extend(res[i].reshape(C2, L, _SL, _LN)
+                    for i in range(res.shape[0]))
+    return outs  # R tiles [C2, L, SL, LN]
+
+
 def _dp_leaf_tables(emit: bool, subtab: bool, flip: bool, a: int, c: int,
                     flip_now: bool):
     """Static per-(op, a, c) leaf coefficients, mirroring
@@ -1669,40 +1707,16 @@ def _dp_chain_kernel_factory(primes, G: int, C2: int, L: int, Lk: int,
                F_ref, inner_ref):
         d = pl.program_id(0)
         s = pl.program_id(1)
-        pp = [np.int32(q) for q in primes]
-        ip = [np.float32(1.0 / q) for q in primes]
 
         @pl.when((d == 0) & (s == 0))
         def _():
             F_ref[...] = f0_ref[...]
 
-        def inv_fn(p, y):
-            return _inv_tile_mxu(y, cdig_ref[p], rdig_ref[p], ew_ref[p],
-                                 pp[p], ip[p])
-
         def vmp_rows(Xrows, brows):
-            """R independent external-product rows against THIS step's
-            key: X (unnormalized digits, |limb| <= 1.5*2^17) -> fwd NTT
-            -> VMP -> inv NTT -> CRT fold -> base + normalize.  Rows run
-            in _DPRB sub-blocks to bound live spectra."""
-            R = len(Xrows)
-            outs = []
-            for r0 in range(0, R, _DPRB):
-                xb = jnp.stack(Xrows[r0:r0 + _DPRB])  # [rb, T, SL, LN]
-                bb = jnp.stack(brows[r0:r0 + _DPRB])  # [rb, C2*L, SL, LN]
-                specs = [_fwd_tile_mxu(xb, cdig_ref[p], rdig_ref[p],
-                                       ew_ref[p], pp[p], ip[p])
-                         for p in range(P)]
-                rsb = _vmp_invntt(specs, lambda p, t, m: k_ref[0, 0, p, t, m],
-                                  T, M, primes, inv_fn)
-                acc = _garner_fold_acc(rsb, primes, C2, Lk, L, base2k)
-                base_fn = lambda c2i, l: bb[:, c2i * L + l]
-                zero = jnp.zeros_like(xb[:, 0])
-                res = jnp.stack(_carry_normalize(acc, base_fn, 1, zero,
-                                                 base2k), axis=1)
-                outs.extend(res[i].reshape(C2, L, _SL, _LN)
-                            for i in range(res.shape[0]))
-            return outs  # R tiles [C2, L, SL, LN]
+            return _vmp_rows_blocked(
+                Xrows, brows, lambda p, t, m: k_ref[0, 0, p, t, m],
+                (cdig_ref, rdig_ref, ew_ref), primes, T, M, C2, Lk, L,
+                base2k)
 
         # b-operand phases: leaves from F (+ delta), write inner[gi]
         for si in range(NG):
@@ -1779,32 +1793,12 @@ def _bitwise_kernel_factory(primes, G: int, C2: int, L: int, Lk: int,
     def kernel(hi_ref, lo_ref, k_ref, cdig_ref, rdig_ref, ew_ref, o_ref,
                inner_ref):
         s = pl.program_id(1)
-        pp = [np.int32(q) for q in primes]
-        ip = [np.float32(1.0 / q) for q in primes]
-
-        def inv_fn(p, y):
-            return _inv_tile_mxu(y, cdig_ref[p], rdig_ref[p], ew_ref[p],
-                                 pp[p], ip[p])
 
         def vmp_rows(Xrows, brows):
-            R = len(Xrows)
-            outs = []
-            for r0 in range(0, R, _DPRB):
-                xb = jnp.stack(Xrows[r0:r0 + _DPRB])
-                bb = jnp.stack(brows[r0:r0 + _DPRB])
-                specs = [_fwd_tile_mxu(xb, cdig_ref[p], rdig_ref[p],
-                                       ew_ref[p], pp[p], ip[p])
-                         for p in range(P)]
-                rsb = _vmp_invntt(specs, lambda p, t, m: k_ref[0, 0, p, t, m],
-                                  T, M, primes, inv_fn)
-                acc = _garner_fold_acc(rsb, primes, C2, Lk, L, base2k)
-                base_fn = lambda c2i, l: bb[:, c2i * L + l]
-                zero = jnp.zeros_like(xb[:, 0])
-                res = jnp.stack(_carry_normalize(acc, base_fn, 1, zero,
-                                                 base2k), axis=1)
-                outs.extend(res[i].reshape(C2, L, _SL, _LN)
-                            for i in range(res.shape[0]))
-            return outs
+            return _vmp_rows_blocked(
+                Xrows, brows, lambda p, t, m: k_ref[0, 0, p, t, m],
+                (cdig_ref, rdig_ref, ew_ref), primes, T, M, C2, Lk, L,
+                base2k)
 
         for si in range(NG):
             @pl.when(s == si)

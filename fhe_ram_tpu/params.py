@@ -241,11 +241,38 @@ PARAMS_CODE_2_14 = Params(k_pt=3, max_addr=1 << 14)
 # words), deeper packing tree, rows shardable over a mesh.
 PARAMS_2_24 = Params(max_addr=1 << 24)
 
+# Wide-digit address decomposition: ONE GGSW per coordinate
+# (decomp_n=(12,) -> base2d [[12],[6]] at 2^18 instead of
+# [[3,3,3,3],[3,3]]).  decomp_n is a first-class constructor parameter
+# of the reference too (Ram::new_from_ram_params, src/ram.rs:72-87) --
+# this is a configuration of the same scheme, not a scheme change:
+#   * the CMux chain per coordinate is 1 external product instead of 4
+#     (the monomial message has operator norm 1 at any exponent width,
+#     so the EP key-noise term is added ONCE instead of once per digit
+#     -- strictly LESS noise, see core/noise.py),
+#   * the encrypted address is 4x smaller (1 GGSW per coordinate),
+#   * FheUint->Address conversion cost is unchanged (the blind rotation
+#     walks the same total bit count either way, vm/conversion.py).
+# The reference's tiny default digits optimize nothing the TPU needs;
+# these are the TPU-first presets used by bench.py.
+PARAMS_2_18_WIDE = Params(decomp_n=(12,))
+PARAMS_2_14_WIDE = Params(k_pt=3, max_addr=1 << 14, decomp_n=(12,))
+PARAMS_2_24_WIDE = Params(max_addr=1 << 24, decomp_n=(12,))
+
 # Small parameters for fast CPU tests (same limb structure, tiny ring).
 PARAMS_TEST_SMALL = Params(
     log_n=6,
     k_pt=3,
     decomp_n=(3, 3),
+    word_size=2,
+    max_addr=1 << 8,
+)
+
+# Wide-digit test config (single-GGSW coordinates, see PARAMS_2_18_WIDE).
+PARAMS_TEST_SMALL_WIDE = Params(
+    log_n=6,
+    k_pt=3,
+    decomp_n=(6,),
     word_size=2,
     max_addr=1 << 8,
 )

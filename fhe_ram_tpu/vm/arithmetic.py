@@ -119,9 +119,7 @@ def _dp_group(params: Params, ctx: NTTContext, ops, rs1p, rs2p, immp,
 
     # op indices grouped by b-operand source: each group's bit j is ONE
     # GGSW shared by all its leaves (keyed CMux: key streamed once)
-    src_groups = {}
-    for gi, op in enumerate(ops):
-        src_groups.setdefault(op in _IMM_OPS, []).append(gi)
+    src_groups = _src_groups(ops)
 
     for j in range(bits - 1, -1, -1):
         delta = circuits._delta_slot(params, j, bits)
@@ -186,9 +184,7 @@ def _dp_group_fused(params: Params, ctx: NTTContext, ops, rs1p, rs2p, immp,
 
     G = len(ops)
     specs = [_DP_SPECS[op] for op in ops]
-    C2 = params.rank + 1
     n = params.n
-    P = len(params.primes)
     F0 = jnp.stack([
         jnp.stack([fheuint.trivial_word(params, [sp[3](0)], bits),
                    fheuint.trivial_word(params, [sp[3](1)], bits)])
@@ -234,9 +230,7 @@ def _bitwise_group(params: Params, ctx: NTTContext, ops, rs1p, rs2p, immp,
     G = len(ops)
     W = bits
 
-    src_groups = {}
-    for gi, op in enumerate(ops):
-        src_groups.setdefault(op in _IMM_OPS, []).append(gi)
+    src_groups = _src_groups(ops)
 
     def leaf(gi, v_idx):
         v = _BITWISE_TABLES[ops[gi]][v_idx]

@@ -7,7 +7,8 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
-from fhe_ram_tpu.params import PARAMS_TEST_SMALL, PARAMS_TEST_FLAT
+from fhe_ram_tpu.params import (
+    PARAMS_TEST_SMALL, PARAMS_TEST_FLAT, PARAMS_TEST_SMALL_WIDE)
 from fhe_ram_tpu.ops.ntt import get_ntt_context
 from fhe_ram_tpu.core import glwe, keys, rng
 from fhe_ram_tpu.ram import address as address_mod
@@ -34,8 +35,9 @@ def check_word(par, ctx, s_ntt, out, data, idx, note=""):
         assert noise < -(par.k_pt + 1), f"{note} noise {noise}"
 
 
-@pytest.mark.parametrize("par", [PARAMS_TEST_FLAT, PARAMS_TEST_SMALL],
-                         ids=["flat_n2_1", "tree_n2_2"])
+@pytest.mark.parametrize(
+    "par", [PARAMS_TEST_FLAT, PARAMS_TEST_SMALL, PARAMS_TEST_SMALL_WIDE],
+    ids=["flat_n2_1", "tree_n2_2", "wide_digit"])
 def test_read(par):
     ctx, src, s_ntt, server = build(par)
     rnd = np.random.default_rng(11)
@@ -98,8 +100,9 @@ def test_read_batch_sliced(monkeypatch):
                    f"sliced batch idx={idx}")
 
 
-@pytest.mark.parametrize("par", [PARAMS_TEST_FLAT, PARAMS_TEST_SMALL],
-                         ids=["flat_n2_1", "tree_n2_2"])
+@pytest.mark.parametrize(
+    "par", [PARAMS_TEST_FLAT, PARAMS_TEST_SMALL, PARAMS_TEST_SMALL_WIDE],
+    ids=["flat_n2_1", "tree_n2_2", "wide_digit"])
 def test_read_write_cycle(par):
     ctx, src, s_ntt, server = build(par, seed=8)
     rnd = np.random.default_rng(12)
