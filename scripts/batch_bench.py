@@ -16,7 +16,9 @@ import jax
 import jax.numpy as jnp
 from functools import partial
 
-from fhe_ram_tpu.params import PARAMS_README_2_18, PARAMS_2_24, PARAMS_CODE_2_14
+from fhe_ram_tpu.params import (
+    PARAMS_README_2_18, PARAMS_2_24, PARAMS_CODE_2_14, PARAMS_2_18_WIDE,
+    PARAMS_2_24_WIDE)
 from fhe_ram_tpu.ops.ntt import get_ntt_context
 from fhe_ram_tpu.core import glwe, keys, rng
 from fhe_ram_tpu.ram import address as address_mod
@@ -29,7 +31,8 @@ def main():
     ap.add_argument("--batch", type=int, default=64)
     args = ap.parse_args()
     par = {"2_18": PARAMS_README_2_18, "2_24": PARAMS_2_24,
-           "2_14": PARAMS_CODE_2_14}[args.config]
+           "2_14": PARAMS_CODE_2_14, "2_18w": PARAMS_2_18_WIDE,
+           "2_24w": PARAMS_2_24_WIDE}[args.config]
 
     cpu = jax.devices("cpu")[0]
     tpu = jax.devices()[0]

@@ -19,7 +19,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from fhe_ram_tpu.params import PARAMS_README_2_18 as par
+from fhe_ram_tpu.params import PARAMS_README_2_18, PARAMS_2_18_WIDE
 from fhe_ram_tpu.ops.ntt import get_ntt_context
 from fhe_ram_tpu.core import glwe, keys, keyswitch, rng
 from fhe_ram_tpu.ram import address as address_mod, ram as ram_mod
@@ -28,8 +28,11 @@ from fhe_ram_tpu.ram import address as address_mod, ram as ram_mod
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--k", type=int, default=8)
+    ap.add_argument("--config", default="2_18")
     args = ap.parse_args()
     k = args.k
+    global par
+    par = {"2_18": PARAMS_README_2_18, "2_18w": PARAMS_2_18_WIDE}[args.config]
 
     tpu = jax.devices()[0]
     print("device:", tpu, flush=True)

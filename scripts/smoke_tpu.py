@@ -17,7 +17,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from fhe_ram_tpu.params import PARAMS_README_2_18, PARAMS_CODE_2_14
+from fhe_ram_tpu.params import (
+    PARAMS_README_2_18, PARAMS_CODE_2_14, PARAMS_2_18_WIDE, PARAMS_2_14_WIDE)
 from fhe_ram_tpu.ops.ntt import get_ntt_context
 from fhe_ram_tpu.core import glwe, keys, rng
 from fhe_ram_tpu.ram import address as address_mod
@@ -31,7 +32,8 @@ def main():
     ap.add_argument("--iters", type=int, default=3)
     args = ap.parse_args()
 
-    par = PARAMS_README_2_18 if args.config == "2_18" else PARAMS_CODE_2_14
+    par = {"2_18": PARAMS_README_2_18, "2_14": PARAMS_CODE_2_14,
+           "2_18w": PARAMS_2_18_WIDE, "2_14w": PARAMS_2_14_WIDE}[args.config]
     cpu = jax.devices("cpu")[0]
     tpu = jax.devices()[0]
     print("tpu device:", tpu, flush=True)

@@ -13,7 +13,10 @@ import jax
 import jax.numpy as jnp
 from functools import partial
 
-from fhe_ram_tpu.params import PARAMS_README_2_18 as par
+from fhe_ram_tpu.params import PARAMS_README_2_18, PARAMS_2_18_WIDE
+
+par = (PARAMS_2_18_WIDE if os.environ.get("FHERAM_CONFIG") == "2_18w"
+       else PARAMS_README_2_18)
 from fhe_ram_tpu.ops.ntt import get_ntt_context
 from fhe_ram_tpu.core import glwe, keys, rng
 from fhe_ram_tpu.ram import address as address_mod

@@ -16,7 +16,8 @@ import math
 import numpy as np
 import jax.numpy as jnp
 
-from fhe_ram_tpu.params import PARAMS_TEST_SMALL as PAR, PARAMS_README_2_18
+from fhe_ram_tpu.params import (
+    PARAMS_TEST_SMALL as PAR, PARAMS_README_2_18, PARAMS_2_18_WIDE)
 from fhe_ram_tpu.ops.ntt import get_ntt_context
 from fhe_ram_tpu.ops import limb as limb_ops
 from fhe_ram_tpu.core import glwe, ggsw, keyswitch, keys, noise, rng
@@ -157,7 +158,12 @@ def test_ggsw_assert_noise_conversion():
 def test_refresh_budget_production():
     """The computed refresh budget at the 2^18 production config must
     clear the reference's published ~40M figure (README.md:36)."""
-    budget = noise.refresh_budget(PARAMS_README_2_18)
-    assert budget >= 40_000_000, budget
-    # and the analytic read bound clears decode at the production config
-    assert noise.read_noise_log2(PARAMS_README_2_18) < -(PARAMS_README_2_18.k_pt + 1)
+    for par in (PARAMS_README_2_18, PARAMS_2_18_WIDE):
+        budget = noise.refresh_budget(par)
+        assert budget >= 40_000_000, budget
+        # the analytic read bound clears decode at the production config
+        assert noise.read_noise_log2(par) < -(par.k_pt + 1)
+    # wide digits must not be noisier than the reference decomposition
+    # (ONE external product per coordinate adds key noise once, not 4x)
+    assert (noise.read_noise_log2(PARAMS_2_18_WIDE)
+            <= noise.read_noise_log2(PARAMS_README_2_18) + 1e-9)
