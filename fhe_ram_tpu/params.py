@@ -259,6 +259,13 @@ PARAMS_2_18_WIDE = Params(decomp_n=(12,))
 PARAMS_2_14_WIDE = Params(k_pt=3, max_addr=1 << 14, decomp_n=(12,))
 PARAMS_2_24_WIDE = Params(max_addr=1 << 24, decomp_n=(12,))
 
+# Turbo: wide digits + address GGSWs at k_ggsw=51 (3 limbs instead of
+# 4).  Each external product drops from 8 to 6 inverse transforms and
+# the VMP shrinks 25%.  Analytic read bound -23.7 (decode needs < -10)
+# and refresh budget 4.9e7 RMW cycles -- still above the reference's
+# published >= ~40M (README.md:36); see tests/test_noise.py.
+PARAMS_2_18_TURBO = Params(decomp_n=(12,), k_ggsw=51)
+
 # Small parameters for fast CPU tests (same limb structure, tiny ring).
 PARAMS_TEST_SMALL = Params(
     log_n=6,

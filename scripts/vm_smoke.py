@@ -16,7 +16,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from fhe_ram_tpu.params import PARAMS_CODE_2_14 as par
+from fhe_ram_tpu.params import PARAMS_CODE_2_14, PARAMS_2_14_WIDE
+
+par = (PARAMS_2_14_WIDE if os.environ.get("FHERAM_CONFIG") == "2_14w"
+       else PARAMS_CODE_2_14)
 from fhe_ram_tpu.ops.ntt import get_ntt_context
 from fhe_ram_tpu.core import glwe, keys, rng
 from fhe_ram_tpu.vm import fheuint, circuits, arithmetic, store, conversion

@@ -17,7 +17,8 @@ import numpy as np
 import jax.numpy as jnp
 
 from fhe_ram_tpu.params import (
-    PARAMS_TEST_SMALL as PAR, PARAMS_README_2_18, PARAMS_2_18_WIDE)
+    PARAMS_TEST_SMALL as PAR, PARAMS_README_2_18, PARAMS_2_18_WIDE,
+    PARAMS_2_18_TURBO)
 from fhe_ram_tpu.ops.ntt import get_ntt_context
 from fhe_ram_tpu.ops import limb as limb_ops
 from fhe_ram_tpu.core import glwe, ggsw, keyswitch, keys, noise, rng
@@ -167,3 +168,7 @@ def test_refresh_budget_production():
     # (ONE external product per coordinate adds key noise once, not 4x)
     assert (noise.read_noise_log2(PARAMS_2_18_WIDE)
             <= noise.read_noise_log2(PARAMS_README_2_18) + 1e-9)
+    # turbo (k_ggsw=51) trades noise margin for speed but must keep the
+    # decode bound AND the reference's published refresh budget
+    assert noise.read_noise_log2(PARAMS_2_18_TURBO) < -(PARAMS_2_18_TURBO.k_pt + 1)
+    assert noise.refresh_budget(PARAMS_2_18_TURBO) >= 40_000_000
