@@ -25,18 +25,6 @@ import jax.numpy as jnp
 I32 = jnp.int32
 
 
-@lru_cache(maxsize=None)
-def _rotate_tables(n: int, k: int):
-    """Gather tables for multiplication by X^k: out[j] = sign[j]*in[src[j]]."""
-    k = k % (2 * n)
-    j = np.arange(n)
-    src = (j - k) % n
-    # out coeff j comes from in coeff (j-k mod 2n); sign flips for each N-wrap
-    t = (j - k) % (2 * n)
-    sign = np.where(t < n, 1, -1).astype(np.int32)
-    return src.astype(np.int32), sign
-
-
 def rotate(x, k: int):
     """Multiply by X^k (static k). x: int32[..., N].
 
@@ -78,15 +66,3 @@ def automorphism(x, g: int):
     return jnp.take(x, jnp.asarray(src), axis=-1) * jnp.asarray(sign)
 
 
-def rotate_batch_tables(n: int, count: int, step: int = -1):
-    """Stacked gather tables for [X^(step*m) for m in range(count)].
-
-    Used to batch the write-path per-slot rotations
-    (reference: the sequential loop at src/ram.rs:612-630)."""
-    srcs = np.zeros((count, n), dtype=np.int32)
-    signs = np.zeros((count, n), dtype=np.int32)
-    for m in range(count):
-        s, g = _rotate_tables(n, (step * m) % (2 * n))
-        srcs[m] = s
-        signs[m] = g
-    return jnp.asarray(srcs), jnp.asarray(signs)

@@ -401,6 +401,15 @@ def eval_ops(params: Params, ctx: NTTContext, rs1p, rs2p, immp, atk,
         words.update(_bitwise_group(params, ctx, bw_ops, rs1p, rs2p, immp, bits))
     if sh_ops:
         words.update(_shift_group(params, ctx, sh_ops, rs1p, rs2p, immp, atk, bits))
+    # materialize each group's outputs: without the barrier XLA re-fuses
+    # the shared operand preprocessing (key-row stacks of the SAME bit
+    # GGSWs feed all three groups) into every consumer -- measured 3x on
+    # the composed eval_ops vs the sum of its groups (the same
+    # recompute-fusion cliff as the NTT stages, see CLAUDE.md)
+    if words:
+        keys_order = list(words)
+        vals = jax.lax.optimization_barrier(tuple(words[o] for o in keys_order))
+        words = dict(zip(keys_order, vals))
 
     rd = None
     for i, op in enumerate(ops):

@@ -108,25 +108,26 @@ def get_ctx(params: Params) -> NTTContext:
 
 def extract_slots(params: Params, ctx: NTTContext, word, atk, bits: int = 32):
     """All W slot values isolated to coefficient 0: [C, L, N] ->
-    [W, C, L, N], via batched rotations + ONE batched full trace."""
+    [W, C, L, N], via batched rotations + ONE batched full trace.
+
+    Rotations are static slice+concat (poly.rotate), NOT a minor-dim
+    gather: a last-axis gather serializes on the TPU (measured ~11 ms
+    per gathered word at W=32 -- the eval_ops composition mystery,
+    BENCH_NOTES round 3)."""
     g = fheuint.gap(params, bits)
-    n = params.n
-    srcs, signs = poly.rotate_batch_tables(n, bits, step=-g)
-    y = jnp.take(word, srcs, axis=-1)  # [C, L, W, N]
-    y = jnp.moveaxis(y, -2, 0) * signs[:, None, None, :]
+    y = jnp.stack([poly.rotate(word, -g * m) for m in range(bits)])
     return keyswitch.trace(params, ctx, y, atk)  # [W, C, L, N]
 
 
 def assemble_word(params: Params, slots, bits: int = 32):
     """Inverse of extract_slots: sum of slot_j * X^(j*gap).
-    slots: [W, C, L, N], each value at coefficient 0."""
+    slots: [W, C, L, N], each value at coefficient 0.  Static
+    slice+concat rotations (see extract_slots note)."""
     g = fheuint.gap(params, bits)
-    n = params.n
-    srcs, signs = poly.rotate_batch_tables(n, bits, step=g)
-    y = jnp.take_along_axis(
-        slots, jnp.broadcast_to(srcs[:, None, None, :], slots.shape), axis=-1
-    ) * signs[:, None, None, :]
-    return limb_ops.normalize(jnp.sum(y, axis=0))
+    acc = slots[0]
+    for m in range(1, bits):
+        acc = acc + poly.rotate(slots[m], g * m)
+    return limb_ops.normalize(acc)
 
 
 def _delta_slot(params: Params, j: int, bits: int, value: int = 1):
