@@ -84,26 +84,6 @@ def main():
 
         slope(f"keyed CMux K=2 B={B} (tbf=2 default)", keyed, x0, keys)
 
-    # keyed with larger tbf (rows per grid step)
-    import fhe_ram_tpu.ops.ntt_pallas as ntp
-
-    for tbf in (4, 8):
-        x0 = jax.device_put(
-            jnp.asarray(rnd.integers(-2**15, 2**15, size=(2, 96, C, L, n)),
-                        jnp.int32), tpu)
-
-        def keyed_tbf(x, kk, tbf=tbf):
-            pctx = ntp.get_pallas_context(par.n, ctx.primes)
-            P, K, D, C_, C2, Lg, nn = kk.shape
-            xk = (x - x).at[...].set(x)  # keep it simple: x itself
-            kk2 = jnp.transpose(kk, (0, 1, 3, 2, 4, 5, 6)).reshape(
-                P, K, C_ * D, C2 * Lg, nn)
-            kk2 = jnp.moveaxis(kk2, 1, 0)[:, :, None]
-            return ntp.fused_external_fold_batched(
-                pctx, x, kk2, L, C2, base=x, tbf=tbf)
-
-        slope(f"keyed CMux K=2 B=96 tbf={tbf}", keyed_tbf, x0, keys)
-
     # reference: the read level-0 kernel shape (one shared key, 256 rows)
     from fhe_ram_tpu.ram import address as address_mod
 
