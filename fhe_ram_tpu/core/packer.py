@@ -35,6 +35,8 @@ coefficient j (matching the reference's normalized packer).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -84,6 +86,44 @@ def _merge_level(params: Params, ctx: NTTContext, A, B, t: int, g: int,
                                      out_limbs=v.shape[-2], base_add=u)
 
 
+# max leaf count handled by the single-launch pack-tree kernel: the
+# input block + M/2-pair state must fit VMEM next to the key/spectra
+# blocks (M=64 measured 16.15 MB vs the 16 MB scoped limit).
+#
+# MEASURED NEUTRAL-TO-WORSE at the 2^18 read (4.24 vs 3.74 ms/read):
+# the per-level merge kernels batch ALL subrams' pairs per grid step
+# (4-row VMPs even at the deep levels), while the one-launch tree
+# processes one batch column per step and forfeits that cross-batch
+# blocking below R=4 pairs.  Kept behind FHERAM_PACK_TREE=1 (bit-exact,
+# tests/test_fused_chain.py) -- the launch overhead it removes is
+# smaller than the batching it costs on this hardware.
+_TREE_MAX = 32
+_USE_TREE = os.environ.get("FHERAM_PACK_TREE") == "1"
+
+
+def _pack_tree_fused(params: Params, ctx: NTTContext, cts, auto_keys_ntt):
+    """All remaining levels in ONE kernel (ops/ntt_pallas
+    fused_pack_tree_pallas).  cts: [M, ..., C, L, N], M <= _TREE_MAX."""
+    from ..ops import ntt_pallas
+
+    M = cts.shape[0]
+    n = params.n
+    levels = M.bit_length() - 1
+    lead = cts.shape[1:-3]
+    c2 = cts.shape[-3]
+    flat = cts.reshape((M, -1) + cts.shape[-3:])
+    ks = []
+    for si in range(levels):
+        g = (n >> (levels - 1 - si)) + 1
+        key = auto_keys_ntt[g]  # [P, D, rank, C2, Lk, N]
+        P, D, rank, C2, Lk, n_ = key.shape
+        ks.append(jnp.transpose(key, (0, 2, 1, 3, 4, 5)).reshape(
+            P, rank * D, C2 * Lk, n))
+    pctx = ntt_pallas.get_pallas_context(n, ctx.primes)
+    out = ntt_pallas.fused_pack_tree_pallas(pctx, flat, jnp.stack(ks))
+    return out.reshape(lead + cts.shape[-3:])
+
+
 def pack(params: Params, ctx: NTTContext, cts, auto_keys_ntt: dict):
     """Pack cts[M, ..., C, L, N] (slot-0 values v_m) into one ct whose
     coefficient m equals v_m for all m < M.  M must be a power of two
@@ -97,6 +137,22 @@ def pack(params: Params, ctx: NTTContext, cts, auto_keys_ntt: dict):
         return cts[0]
     # pre-scale by 1/M once (exact limb shift; see module docstring)
     cts = limb_ops.normalize(limb_ops.shift_right(cts, levels))
+
+    from ..ops import ntt as ntt_mod
+
+    if ntt_mod.get_backend() == "pallas" and n == 4096:
+        from ..ops import ntt_pallas
+
+        if ntt_pallas._USE_MXU and _USE_TREE:
+            # per-level merges until <= _TREE_MAX leaves remain (2^24's
+            # first levels), then the whole remaining tree in ONE launch
+            while cts.shape[0] > _TREE_MAX:
+                l = cts.shape[0].bit_length() - 2
+                cts = _merge_level(params, ctx, cts[: 1 << l],
+                                   cts[1 << l : 2 << l], 1 << l,
+                                   (n >> l) + 1, auto_keys_ntt[(n >> l) + 1])
+            return _pack_tree_fused(params, ctx, cts, auto_keys_ntt)
+
     for l in range(levels - 1, -1, -1):
         t = 1 << l
         g = (n >> l) + 1

@@ -1615,6 +1615,125 @@ def fused_pack_merge_pallas(ctx: NTTPallasContext, A, B, t_rot: int,
     return out[:nb].reshape(nb, C2, L, n)
 
 
+def _pack_tree_kernel_factory(primes, rank: int, L: int, Lk: int, M: int,
+                              rperms, aperms, base2k: int = 17):
+    """The WHOLE log-depth pack tree in one kernel: level s merges
+    R_s = M >> (s+1) pairs held in VMEM scratch (level 0 reads the input
+    block).  rperms/aperms: per-level static _TilePerm descriptors
+    (identity matmuls skipped -- every pack rotation/galois map here is
+    roll+sign only)."""
+    P = len(primes)
+    C2 = rank + 1
+    T = rank * L
+    Mk = C2 * Lk
+    levels = M.bit_length() - 1
+    nperm = [len(r.inputs()) + len(a.inputs())
+             for r, a in zip(rperms, aperms)]
+
+    def kernel(*refs):
+        x_ref, k_ref = refs[:2]
+        pref = refs[2 : 2 + sum(nperm)]
+        cdig_ref, rdig_ref, ew_ref, o_ref, st_ref = refs[2 + sum(nperm) :]
+        s = pl.program_id(1)
+
+        off = 0
+        for si in range(levels):
+            my_perm = pref[off : off + nperm[si]]
+            off += nperm[si]
+
+            @pl.when(s == si)
+            def _(si=si, my_perm=my_perm):
+                R = M >> (si + 1)
+                if si == 0:
+                    A = x_ref[:R, 0]        # [R, C2, L, SL, LN]
+                    Bc = x_ref[R:, 0]
+                else:
+                    A = st_ref[:R]
+                    Bc = st_ref[R : 2 * R]
+                it = iter(my_perm)
+                xb = rperms[si].apply(Bc, it)
+                u = A + xb
+                v = A - xb
+                sv = aperms[si].apply(v, it)
+
+                Xrows, brows = [], []
+                for r in range(R):
+                    Xrows.append(sv[r, :rank].reshape(T, _SL, _LN))
+                    b = jnp.concatenate(
+                        [u[r, :rank], (u[r, rank] + sv[r, rank])[None]],
+                        axis=0)
+                    brows.append(b.reshape(C2 * L, _SL, _LN))
+                res = _vmp_rows_blocked(
+                    Xrows, brows, lambda p, t, m: k_ref[0, p, t, m],
+                    (cdig_ref, rdig_ref, ew_ref), primes, T, Mk, C2, Lk,
+                    L, base2k, sign=-1)
+                for r in range(R):
+                    st_ref[r] = res[r]
+
+                if si == levels - 1:
+                    o_ref[0] = res[0]
+
+    return kernel
+
+
+def fused_pack_tree_pallas(ctx: NTTPallasContext, cts, keys_stacked,
+                           interpret: bool = False):
+    """All log2(M) pack-tree merge levels in ONE kernel launch
+    (core/packer.pack's per-level loop; reference GLWEPacker streaming
+    insert, consumed at src/ram.rs:425-448).
+
+    cts: int32[M, nb, C2, L, N] pre-scaled normalized leaves (M a power
+    of two <= 32: the input block + pair state must fit the 16 MB
+    scoped VMEM; M = 64 measured 16.15 MB); keys_stacked:
+    int32[levels, P, T, Mk, N] per-level automorphism keys in MERGE
+    order (level s uses galois N/2^(levels-1-s) + 1).  Returns
+    int32[nb, C2, L, N], bit-exact vs the composed per-level path."""
+    assert _USE_MXU, "fused pack tree requires the MXU kernel family"
+    n = ctx.n
+    M, nb, C2, L, n_ = cts.shape
+    levels = M.bit_length() - 1
+    S, P, T, Mk, n3 = keys_stacked.shape
+    rank = C2 - 1
+    assert n_ == n and n3 == n and M & (M - 1) == 0 and 2 <= M <= 32
+    assert S == levels and T == rank * L and Mk % C2 == 0
+    Lk = Mk // C2
+
+    x = cts.reshape(M, nb, C2, L, _SL, _LN)
+    k6 = keys_stacked.reshape(levels, P, T, Mk, _SL, _LN)
+    rperms, aperms, ptabs = [], [], []
+    for si in range(levels):
+        l = levels - 1 - si
+        rp = _TilePerm(n, 1, 1 << l)
+        ap = _TilePerm(n, (n >> l) + 1, 0)
+        rperms.append(rp)
+        aperms.append(ap)
+        ptabs += [jnp.asarray(v) for v in rp.inputs() + ap.inputs()]
+    cdig, rdig, ew = _mxu_tables(ctx)
+
+    in_specs = [
+        pl.BlockSpec((M, 1, C2, L, _SL, _LN), lambda w, s: (0, w, 0, 0, 0, 0)),
+        pl.BlockSpec((1, P, T, Mk, _SL, _LN),
+                     lambda w, s: (s, 0, 0, 0, 0, 0)),
+        *[pl.BlockSpec(v.shape, (lambda w, s, _nd=v.ndim: (0,) * _nd))
+          for v in ptabs],
+        pl.BlockSpec((P, 2, 3, _SL, _SL), lambda w, s: (0, 0, 0, 0, 0)),
+        pl.BlockSpec((P, 2, 3, _LN, _LN), lambda w, s: (0, 0, 0, 0, 0)),
+        pl.BlockSpec((P, 2, _SL, _LN), lambda w, s: (0, 0, 0, 0)),
+    ]
+    out = pl.pallas_call(
+        _pack_tree_kernel_factory(ctx.primes, rank, L, Lk, M, rperms,
+                                  aperms),
+        grid=(nb, levels),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, C2, L, _SL, _LN),
+                               lambda w, s: (w, 0, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((nb, C2, L, _SL, _LN), I32),
+        scratch_shapes=[pltpu.VMEM((max(M // 2, 1), C2, L, _SL, _LN), I32)],
+        interpret=interpret,
+    )(x, k6, *ptabs, cdig, rdig, ew)
+    return out.reshape(nb, C2, L, n)
+
+
 # --------------------------------------------------------------------------
 # fused carry-DP CHAIN: the VM adder/comparator 2-state dynamic program
 # (vm/arithmetic._dp_group; reference BDD circuits consumed at
@@ -1637,13 +1756,13 @@ _DPRB = int(os.environ.get("FHERAM_DPRB", "4"))  # VMP rows per sub-block
 
 
 def _vmp_rows_blocked(Xrows, brows, key_fn, tabs, primes, T, M, C2, Lk, L,
-                      base2k):
+                      base2k, sign: int = 1):
     """R independent external-product rows against one step's key:
     X (unnormalized digits, |limb| <= 1.5*2^17) -> fwd NTT -> VMP ->
-    inv NTT -> CRT fold -> base + normalize.  Rows run in _DPRB
-    sub-blocks to bound live spectra.  Shared by the DP-chain and
-    bitwise chain kernels (the blind-rotate kernel's variant differs:
-    batched tiles, base = the chain state itself).
+    inv NTT -> CRT fold -> base + sign*conv, normalized.  Rows run in
+    _DPRB sub-blocks to bound live spectra.  Shared by the DP-chain,
+    bitwise, and pack-tree kernels (the blind-rotate kernel's variant
+    differs: batched tiles, base = the chain state itself).
 
     tabs = (cdig_ref, rdig_ref, ew_ref); key_fn(p, t, m) -> key tile."""
     cdig_ref, rdig_ref, ew_ref = tabs
@@ -1667,7 +1786,7 @@ def _vmp_rows_blocked(Xrows, brows, key_fn, tabs, primes, T, M, C2, Lk, L,
         acc = _garner_fold_acc(rsb, primes, C2, Lk, L, base2k)
         base_fn = lambda c2i, l: bb[:, c2i * L + l]
         zero = jnp.zeros_like(xb[:, 0])
-        res = jnp.stack(_carry_normalize(acc, base_fn, 1, zero,
+        res = jnp.stack(_carry_normalize(acc, base_fn, sign, zero,
                                          base2k), axis=1)
         outs.extend(res[i].reshape(C2, L, _SL, _LN)
                     for i in range(res.shape[0]))

@@ -141,7 +141,7 @@ def coordinate_product(params: Params, ctx: NTTContext, ct, coord_prep):
 
 
 def coordinate_product_batched(params: Params, ctx: NTTContext, ct,
-                               coords_prep_b):
+                               coords_prep_b, ct_ntt=None):
     """coordinate_product of ONE shared ct against a BATCH of prepared
     coordinates (leading axis B).  Returns [B, ...ct.shape].
 
@@ -150,7 +150,12 @@ def coordinate_product_batched(params: Params, ctx: NTTContext, ct,
     backend: ONE ntt_fwd over all rows, then per-address digit-0 runs
     the spectral-input fold kernel and the remaining digits the regular
     chained kernel.  (The reference has no batched read; this is the
-    BASELINE config-3 path.)"""
+    BASELINE config-3 path.)
+
+    ct_ntt: optional precomputed spectra of ct's digit rows
+    ([P, rows, C*L, N], from spectral_cache) -- skips even the one
+    forward transform (read-heavy workloads reuse it across calls; the
+    composed fallback ignores it and recomputes, same results)."""
     from ..ops import ntt as ntt_mod
 
     dig = coords_prep_b.shape[2]
@@ -165,17 +170,40 @@ def coordinate_product_batched(params: Params, ctx: NTTContext, ct,
         pctx = get_pallas_context(n, ctx.primes)
         B = coords_prep_b.shape[0]
         lead_shape = ct.shape[:-3]
-        x = ct.reshape((-1, C * D, n))
-        xn = ntt_fwd_pallas(pctx, x)  # [P, rows, T, N], shared across B
+        if ct_ntt is None:
+            x = ct.reshape((-1, C * D, n))
+            ct_ntt = ntt_fwd_pallas(pctx, x)  # [P, rows, T, N], shared
         keys = jnp.transpose(coords_prep_b, (0, 1, 2, 4, 3, 5, 6, 7)).reshape(
             B, P, dig, C * D, C2 * Lg, n)
         # the WHOLE batched level: shared spectral digit 0 + per-address
         # chained digits, one kernel launch (grid: address x rows x digit)
-        y = fused_external_fold_batched(pctx, xn, keys, L, C2, x_is_ntt=True)
+        y = fused_external_fold_batched(pctx, ct_ntt, keys, L, C2,
+                                        x_is_ntt=True)
         return y.reshape((B,) + lead_shape + (C2, L, n))
 
     return jax.lax.map(
         lambda c: coordinate_product(params, ctx, ct, c), coords_prep_b)
+
+
+def spectral_cache(params: Params, ctx: NTTContext, ct):
+    """Forward transform of ct's gadget-digit rows, reusable across
+    coordinate_product_batched calls on the same ct (server-side cache
+    of the address-independent level-0 work; invalidated by writes).
+    ct: [..., C, L, N] -> [P, rows, C*L, N].  Off the pallas backend the
+    consumer ignores the cache (composed fallback recomputes), so any
+    backend's spectrum order works here."""
+    from ..ops import ntt as ntt_mod
+
+    n = params.n
+    C, L = ct.shape[-3], ct.shape[-2]
+    x = ct.reshape((-1, C * L, n))
+    if ntt_mod.get_backend() == "pallas" and n == 4096:
+        from ..ops.ntt_pallas import get_pallas_context, ntt_fwd_pallas
+
+        return ntt_fwd_pallas(get_pallas_context(n, ctx.primes), x)
+    from ..ops.ntt import ntt_fwd
+
+    return ntt_fwd(ctx, x)
 
 
 def coordinate_product_perbatch(params: Params, ctx: NTTContext, ct_b,

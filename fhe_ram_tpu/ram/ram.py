@@ -158,7 +158,8 @@ def read_impl(params: Params, ctx: NTTContext, data, coords, atk):
 _BATCH_CHUNK = 64
 
 
-def read_batch_impl(params: Params, ctx: NTTContext, data, coords_b, atk):
+def read_batch_impl(params: Params, ctx: NTTContext, data, coords_b, atk,
+                    data_ntt=None):
     """Batched encrypted read at B addresses (BASELINE config 3; the
     reference has no batched path).  coords_b: tuple of stacked prepared
     coordinates, leading axis B.  B > _BATCH_CHUNK is processed in
@@ -167,7 +168,9 @@ def read_batch_impl(params: Params, ctx: NTTContext, data, coords_b, atk):
     Amortizes address-independent work instead of vmapping read_impl
     (round-1 finding: plain vmap REGRESSES -- transient blowup):
       * the level-0 forward NTT of the RAM's gadget digits runs ONCE
-        per batch slice (shared spectral input to the fold kernel);
+        per batch slice (shared spectral input to the fold kernel) --
+        or ZERO times when the caller passes the data_ntt spectral
+        cache (FheRam.spectral_cache; read-heavy workloads);
       * upper-level CMux chains run with per-address keys in one
         batch-gridded kernel launch instead of B separate dispatches;
       * pack and trace run with the batch folded into the row axis
@@ -180,23 +183,25 @@ def read_batch_impl(params: Params, ctx: NTTContext, data, coords_b, atk):
         sl = tuple(c[: nfull * k].reshape((nfull, k) + c.shape[1:])
                    for c in coords_b)
         outs = jax.lax.map(
-            lambda cs: _read_batch_slice(params, ctx, data, cs, atk), sl)
+            lambda cs: _read_batch_slice(params, ctx, data, cs, atk,
+                                         data_ntt), sl)
         parts.append(outs.reshape((nfull * k,) + outs.shape[2:]))
         if B % k:
             parts.append(_read_batch_slice(
                 params, ctx, data,
-                tuple(c[nfull * k :] for c in coords_b), atk))
+                tuple(c[nfull * k :] for c in coords_b), atk, data_ntt))
         return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
-    return _read_batch_slice(params, ctx, data, coords_b, atk)
+    return _read_batch_slice(params, ctx, data, coords_b, atk, data_ntt)
 
 
-def _read_batch_slice(params: Params, ctx: NTTContext, data, coords_b, atk):
+def _read_batch_slice(params: Params, ctx: NTTContext, data, coords_b, atk,
+                      data_ntt=None):
     n2 = len(coords_b)
     B = coords_b[0].shape[0]
     W = data.shape[0]
     # [B, W, R, C, L, N]
     cur = address_mod.coordinate_product_batched(params, ctx, data,
-                                                 coords_b[0])
+                                                 coords_b[0], data_ntt)
     for i in range(1, n2):
         flat = cur.reshape((B * W,) + cur.shape[2:])
         flat = _pack_rows(params, ctx, flat, atk)
@@ -330,18 +335,40 @@ class FheRam:
         # batched reads: shared-NTT + batch-gridded kernels (NOT vmap:
         # round 1 measured vmap(4) slower than 4 sequential reads)
         self._read_batch = jax.jit(partial(read_batch_impl, p, c))
+        self._read_batch_cached = jax.jit(
+            lambda d, cb, atk, dn: read_batch_impl(p, c, d, cb, atk, dn))
+        self._spectral_cache = jax.jit(
+            partial(address_mod.spectral_cache, p, c))
 
     def init_state(self, data) -> RamState:
         """Wrap freshly encrypted RAM data (ram.encrypt_ram output)."""
         return RamState(data=data, tree=(), pending=False)
 
-    def read(self, state: RamState, addr_prep: address_mod.AddressPrepared):
+    def spectral_cache(self, state: RamState):
+        """Forward transforms of the RAM's gadget-digit rows, reusable
+        across read/read_batch calls on THIS state (the level-0 fwd NTT
+        is address-independent).  Recompute after every write -- a stale
+        cache reads the pre-write RAM.  No reference counterpart (the
+        reference re-DFTs the rows inside every read, ram.rs:424-434);
+        this is the data-side analog of its Prepared key forms."""
         assert not state.pending, "pending write: call write() first"
+        return self._spectral_cache(state.data)
+
+    def read(self, state: RamState, addr_prep: address_mod.AddressPrepared,
+             cache=None):
+        assert not state.pending, "pending write: call write() first"
+        if cache is not None:
+            coords_b = tuple(c[None] for c in addr_prep.coordinates)
+            return self._read_batch_cached(state.data, coords_b,
+                                           self.keys.atk_glwe, cache)[0]
         return self._read(state.data, addr_prep.coordinates, self.keys.atk_glwe)
 
-    def read_batch(self, state: RamState, addrs_prep):
+    def read_batch(self, state: RamState, addrs_prep, cache=None):
         """Batched reads at many addresses: coords stacked on axis 0."""
         assert not state.pending, "pending write: call write() first"
+        if cache is not None:
+            return self._read_batch_cached(state.data, addrs_prep,
+                                           self.keys.atk_glwe, cache)
         return self._read_batch(state.data, addrs_prep, self.keys.atk_glwe)
 
     def read_prepare_write(self, state: RamState,

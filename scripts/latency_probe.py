@@ -37,6 +37,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="2_14")
     ap.add_argument("--k", type=int, default=16)
+    ap.add_argument("--cached", action="store_true",
+                    help="use the spectral data cache (read-heavy mode)")
     args = ap.parse_args()
     par = CONFIGS[args.config]
 
@@ -70,19 +72,35 @@ def main():
     atk_dev = jax.device_put(ekp.atk_glwe, tpu)
     coords_dev = jax.device_put(coords_stacked, tpu)
 
+    cache_dev = None
+    if args.cached:
+        from fhe_ram_tpu.ram.address import spectral_cache
+
+        cache_dev = jax.jit(lambda d: spectral_cache(par, ctx, d))(ram_dev)
+
     def k_reads(k):
         def body(carry, cs):
-            out = ram_mod.read_impl(par, ctx, ram_dev_ref[0], cs, atk_ref[0])
+            if cache_dev is not None:
+                out = ram_mod.read_batch_impl(
+                    par, ctx, ram_dev_ref[0],
+                    jax.tree.map(lambda c: c[None], cs), atk_ref[0],
+                    cache_ref[0])[0]
+            else:
+                out = ram_mod.read_impl(par, ctx, ram_dev_ref[0], cs,
+                                        atk_ref[0])
             return carry + jnp.sum(out[:, :, 0, 0]), None
 
-        def fn(data_in, coords_in, atk_in):
+        def fn(data_in, coords_in, atk_in, cache_in):
             ram_dev_ref[0] = data_in
             atk_ref[0] = atk_in
+            cache_ref[0] = cache_in
             cs_k = jax.tree.map(lambda c: c[:k], coords_in)
             acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.int32), cs_k)
             return acc
 
         return jax.jit(fn)
+
+    cache_ref = [None]
 
     ram_dev_ref = [None]
     atk_ref = [None]
@@ -90,12 +108,12 @@ def main():
     for k in (1, args.k):
         fn = k_reads(k)
         t0 = time.time()
-        r = np.asarray(fn(ram_dev, coords_dev, atk_dev))
+        r = np.asarray(fn(ram_dev, coords_dev, atk_dev, cache_dev))
         print(f"k={k} compile+run: {time.time()-t0:.1f}s result={r}", flush=True)
         ts = []
         for _ in range(3):
             t0 = time.time()
-            r = np.asarray(fn(ram_dev, coords_dev, atk_dev))
+            r = np.asarray(fn(ram_dev, coords_dev, atk_dev, cache_dev))
             ts.append(time.time() - t0)
         print(f"k={k} times: {[f'{t*1000:.1f}ms' for t in ts]}", flush=True)
         if k == 1:

@@ -127,6 +127,38 @@ def test_fused_pack_merge_matches_composed():
     assert np.array_equal(np.asarray(got), np.asarray(want))
 
 
+def test_fused_pack_tree_matches_composed():
+    """The one-launch pack tree must equal the per-level fused merges
+    (which test_fused_pack_merge_matches_composed pins to the composed
+    rotate/automorphism/keyswitch path)."""
+    from fhe_ram_tpu.ops.ntt_pallas import fused_pack_tree_pallas
+
+    rnd = np.random.default_rng(7)
+    M, nb, rank, L, Lk = 8, 3, 1, 3, 4
+    C2 = rank + 1
+    levels = M.bit_length() - 1
+    gals = [(N >> l) + 1 for l in range(levels)]
+    keys = {g: _rand_keys(rnd, 1, rank * L, C2 * Lk)[0] for g in gals}
+    cts = jnp.asarray(
+        rnd.integers(-(1 << 16), 1 << 16, size=(M, nb, C2, L, N)), jnp.int32)
+
+    cur = cts
+    for l in range(levels - 1, -1, -1):
+        t = 1 << l
+        g = (N >> l) + 1
+        A = cur[:t].reshape(-1, C2, L, N)
+        B = cur[t : 2 * t].reshape(-1, C2, L, N)
+        out = fused_pack_merge_pallas(PCTX, A, B, t, g, keys[g],
+                                      interpret=True)
+        cur = out.reshape(t, nb, C2, L, N)
+    want = cur[0]
+
+    ks = jnp.stack([keys[(N >> (levels - 1 - si)) + 1]
+                    for si in range(levels)])
+    got = fused_pack_tree_pallas(PCTX, cts, ks, interpret=True)
+    assert np.array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_fused_dp_chain_matches_composed(monkeypatch):
     """The one-launch carry-DP chain (fused_dp_chain_pallas, via
     vm/arithmetic._dp_group_fused) must be bit-exact vs the REAL

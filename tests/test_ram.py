@@ -75,6 +75,33 @@ def test_read_batch_matches_single(par):
                    f"batch idx={idx}")
 
 
+def test_read_cached_matches_plain():
+    """read/read_batch with the spectral cache must decode identically
+    (the cache is the level-0 fwd transform, skipped per call)."""
+    par = PARAMS_TEST_SMALL_WIDE
+    ctx, src, s_ntt, server = build(par, seed=21)
+    rnd = np.random.default_rng(23)
+    data = rnd.integers(0, 256, size=par.max_addr * par.word_size).astype(np.uint8)
+    ram_ct = ram_mod.encrypt_ram(par, ctx, s_ntt, data, src)
+    st = server.init_state(ram_ct)
+    cache = server.spectral_cache(st)
+
+    idxs = [3, par.max_addr - 2]
+    aps = [address_mod.prepare(ctx, address_mod.encrypt(par, ctx, s_ntt, i, src))
+           for i in idxs]
+    for idx, ap in zip(idxs, aps):
+        out = server.read(st, ap, cache=cache)
+        check_word(par, ctx, s_ntt, np.asarray(out), data, idx,
+                   f"cached read idx={idx}")
+    coords_b = tuple(
+        jnp.stack([a.coordinates[j] for a in aps], axis=0)
+        for j in range(len(aps[0].coordinates)))
+    outs = server.read_batch(st, coords_b, cache=cache)
+    for b, idx in enumerate(idxs):
+        check_word(par, ctx, s_ntt, np.asarray(outs[b]), data, idx,
+                   f"cached batch idx={idx}")
+
+
 def test_read_batch_sliced(monkeypatch):
     """B > _BATCH_CHUNK runs HBM-bounded slices (full lax.map slices +
     a remainder call) and must decode identically."""
