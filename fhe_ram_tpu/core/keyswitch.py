@@ -207,7 +207,7 @@ def trace_steps(params: Params, ctx: NTTContext, ct, auto_keys_ntt: dict,
 
 
 def extract_slots(params: Params, ctx: NTTContext, ct, count: int,
-                  auto_keys_ntt: dict):
+                  auto_keys_ntt: dict, bounded_support: bool = False):
     """All-slot extraction: out[..., m, :, :, :] = trace(X^-m ct) for
     m in [0, count), i.e. per slot an encryption of [slot_m(ct), 0...].
 
@@ -221,13 +221,29 @@ def extract_slots(params: Params, ctx: NTTContext, ct, count: int,
     reference instead walks slots sequentially with per-slot double
     traces (src/ram.rs:612-630).
 
-    Noise: every leaf still passes through exactly log_n keyswitches
-    after the single 1/N pre-scale -- the bound of core/noise.py's
-    trace model is unchanged."""
+    bounded_support=True: the caller GUARANTEES ct's plaintext is
+    exactly zero outside slots [0, count) (the write path's deltas:
+    only row indices < Rc carry data, src/ram.rs:612-630 semantics).
+    Then, when count * 2^ceil(log2 count) <= N, the per-leaf tail steps
+    are PLAINTEXT-EXACTLY unnecessary: after the s split levels the
+    leaf for m is the partial trace keeping slots at stride N/2^s >=
+    count, whose kept slots beyond 0 read ct[m + (N/2^s) k] -- exact
+    plaintext zeros.  The pre-scale shrinks to 1/2^s accordingly (each
+    level doubles the kept coefficients).  This removes the
+    count*(log_n - s) tail keyswitches -- 75% of the work at count=64,
+    log_n=12 -- AND shrinks the coherent noise amplification from
+    (4^log_n)/3 to (4^s)/3 (core/noise.py trace model).
+
+    Without the flag every leaf passes through exactly log_n
+    keyswitches after the single 1/N pre-scale (full-trace semantics,
+    correct for arbitrary ct)."""
     n = params.n
     s = max(count - 1, 0).bit_length()  # ceil(log2(count))
     assert (1 << s) <= n
-    shift = params.log_n
+    tail = params.log_n - s
+    if bounded_support and count << s <= n:
+        tail = 0
+    shift = s + tail
     x = ct
     while shift > 0:
         step = min(shift, params.base2k - 1)
@@ -240,5 +256,5 @@ def extract_slots(params: Params, ctx: NTTContext, ct, count: int,
         both = jnp.concatenate([nodes, rot], axis=-4)
         nodes = trace_steps(params, ctx, both, auto_keys_ntt, (gals[l],))
     out = trace_steps(params, ctx, nodes, auto_keys_ntt,
-                      gals[s : params.log_n])
+                      gals[s : s + tail])
     return out[..., :count, :, :, :]

@@ -277,9 +277,14 @@ def write_impl(params: Params, ctx: NTTContext, data, tree, w, addr_coords,
             chunk = hi[:, j * n : (j + 1) * n]  # [W, Rc, C, L, N]
             Rc = chunk.shape[1]
             # extracted deltas: t_d[:, m] = trace(X^-m d_lo), via the
-            # binary split tree (keyswitch.extract_slots) -- 1.5x fewer
-            # keyswitches than the rotate-stack + batched-trace path
-            t_d = keyswitch.extract_slots(params, ctx, d_lo, Rc, atk)
+            # binary split tree (keyswitch.extract_slots).
+            # bounded_support: d_lo's plaintext is exactly [delta at the
+            # written row index < Rc] (the delta enters as [d, 0...] and
+            # the inverse coordinate rotates by the row index), so the
+            # per-leaf tail traces are skippable (75% of the write's
+            # keyswitches at the 2^18 geometry; see extract_slots)
+            t_d = keyswitch.extract_slots(params, ctx, d_lo, Rc, atk,
+                                          bounded_support=True)
             new_chunks.append(limb_ops.normalize(chunk + t_d))
             delta_next.append(t_d)
         levels[i] = jnp.concatenate(new_chunks, axis=1)

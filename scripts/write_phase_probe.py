@@ -15,7 +15,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from fhe_ram_tpu.params import PARAMS_README_2_18 as par
+from fhe_ram_tpu.params import PARAMS_README_2_18, PARAMS_2_18_WIDE
+
+par = (PARAMS_2_18_WIDE if os.environ.get("FHERAM_CONFIG") == "2_18w"
+       else PARAMS_README_2_18)
 from fhe_ram_tpu.ops.ntt import get_ntt_context
 from fhe_ram_tpu.ops import limb as limb_ops
 from fhe_ram_tpu.core import glwe, keys, keyswitch, rng

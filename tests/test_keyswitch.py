@@ -81,6 +81,25 @@ def test_extract_slots():
             assert np.array_equal(got, want), (count, m, got[:8])
 
 
+def test_extract_slots_bounded_support():
+    """With plaintext support limited to slots < count, the
+    tail-free bounded extraction must decode identically to the full
+    one: [slot_m(ct), 0...] with EXACT zeros elsewhere."""
+    src, sk, s_ntt, ekp = setup()
+    count = 4  # count * 2^ceil(log2 count) = 16 <= N
+    vals = np.zeros(PAR.n, dtype=np.int64)
+    vals[:count] = [3, -4, 1, 2]
+    ct = enc(src, s_ntt, vals)
+    fn = jax.jit(partial(keyswitch.extract_slots, PAR, CTX, count=count,
+                         bounded_support=True))
+    res = fn(ct, auto_keys_ntt=ekp.atk_glwe)
+    for m in range(count):
+        got = decode_all(glwe.phase(PAR, CTX, s_ntt, res[m]))
+        want = np.zeros(PAR.n, dtype=np.int64)
+        want[0] = vals[m]
+        assert np.array_equal(got, want), (m, got[:8])
+
+
 def test_trace_noise():
     src, sk, s_ntt, ekp = setup()
     vals = np.zeros(PAR.n, dtype=np.int64)
