@@ -31,12 +31,21 @@ def main():
     # Headline config: 2^18 x 4xu8 with the TPU-first wide-digit address
     # decomposition (decomp_n=(12,): ONE GGSW per coordinate -- a legal
     # configuration of the reference's decomp_n constructor parameter,
-    # src/ram.rs:72-87, with strictly less noise; see params.py).
-    # FHERAM_BENCH_DECOMP=ref re-runs the reference's [3,3,3,3] digits.
-    if os.environ.get("FHERAM_BENCH_DECOMP") == "ref":
+    # src/ram.rs:72-87, with strictly less noise; see params.py) plus
+    # READ-path gadget truncation (params.read_ks_digits ff.: a priced
+    # noise trade on the ephemeral read outputs only -- the analytic
+    # read bound is -16.3 vs the -10 decode requirement and the refresh
+    # budget is IDENTICAL to the untruncated config; the in-bench
+    # decrypt gate below checks the real noise every run).
+    # FHERAM_BENCH_DECOMP=ref re-runs the reference's [3,3,3,3] digits;
+    # =wide the untruncated wide-digit config.
+    _decomp = os.environ.get("FHERAM_BENCH_DECOMP")
+    if _decomp == "ref":
         from fhe_ram_tpu.params import PARAMS_README_2_18 as par
-    else:
+    elif _decomp == "wide":
         from fhe_ram_tpu.params import PARAMS_2_18_WIDE as par
+    else:
+        from fhe_ram_tpu.params import PARAMS_2_18_READOPT as par
     from fhe_ram_tpu.ops.ntt import get_ntt_context
     from fhe_ram_tpu.core import glwe, keys, rng
     from fhe_ram_tpu.ram import address as address_mod
@@ -167,11 +176,14 @@ def main():
                 return jnp.sum(outs) + d_end[0, 0, 0, 0, 0]
             return jax.jit(fn)
 
-        c1, c2 = k_cycles(1), k_cycles(2)
+        # slope over 5 extra cycles: a single-cycle delta (~8 ms) is
+        # below the tunnel-overhead noise floor (~+-2 ms)
+        kc = 6
+        c1, c2 = k_cycles(1), k_cycles(kc)
         np.asarray(c1(ram_dev)); np.asarray(c2(ram_dev))  # compile
         t1 = min(best_cycle(c1) for _ in range(1))
         t2 = min(best_cycle(c2) for _ in range(1))
-        rmw_ms = (t2 - t1) * 1000.0
+        rmw_ms = (t2 - t1) / (kc - 1) * 1000.0
     except Exception as e:  # pragma: no cover
         print(f"rmw bench skipped: {e}", file=sys.stderr)
 

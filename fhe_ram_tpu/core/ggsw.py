@@ -190,12 +190,14 @@ def external_product(params: Params, ctx: NTTContext, ct, ggsw_ntt,
     """GLWE(m) x GGSW(mu) -> GLWE(mu*m).
 
     ct: int32[..., C, L, N] normalized (its limbs are the gadget digits).
-    ggsw_ntt: int32[P, D, C, C2, Lg, N] with D == L.
+    ggsw_ntt: int32[P, D, C, C2, Lg, N] with D <= L (D < L = gadget
+    truncation: only the top D digits are consumed, see
+    params.Params.read_ep_digits).
     Returns int32[..., C2, out_limbs, N] normalized (default out = L).
     """
     P, D, C, C2, Lg, n = ggsw_ntt.shape
     L = ct.shape[-2]
-    assert ct.shape[-3] == C and D == L, (ct.shape, ggsw_ntt.shape)
+    assert ct.shape[-3] == C and D <= L, (ct.shape, ggsw_ntt.shape)
     Lout = out_limbs if out_limbs is not None else L
 
     from ..ops import ntt as ntt_mod
@@ -207,7 +209,7 @@ def external_product(params: Params, ctx: NTTContext, ct, ggsw_ntt,
 
         pctx = get_pallas_context(n, ctx.primes)
         lead_shape = ct.shape[:-3]
-        x = ct.reshape((-1, C * D, n))
+        x = ct[..., :D, :].reshape((-1, C * D, n))
         keys = jnp.transpose(ggsw_ntt, (0, 2, 1, 3, 4, 5)).reshape(
             P, 1, C * D, C2 * Lg, n)
         out = fused_external_fold_pallas(pctx, x, keys, Lout, C2)

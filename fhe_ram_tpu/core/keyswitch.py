@@ -71,8 +71,22 @@ def key_prepare(ctx: NTTContext, key):
     return ntt_fwd(ctx, key)
 
 
+def truncate_key(key_ntt, in_digits: int | None, key_limbs: int | None):
+    """Slice a prepared GGLWE key [P, D, rank, C2, Lk, N] to its top
+    in_digits gadget rows and top key_limbs limbs.  Valid because limb
+    slicing commutes with the per-limb NTT: the top limbs of a prepared
+    key ARE the prepared form of the truncated key (see
+    params.Params.read_ks_digits)."""
+    if in_digits is not None:
+        key_ntt = key_ntt[:, :in_digits]
+    if key_limbs is not None:
+        key_ntt = key_ntt[..., :key_limbs, :]
+    return key_ntt
+
+
 def keyswitch(params: Params, ctx: NTTContext, ct, key_ntt,
-              out_limbs: int | None = None, base_add=None):
+              out_limbs: int | None = None, base_add=None,
+              in_digits: int | None = None, key_limbs: int | None = None):
     """Key-switch ct (under the key's source secret) to the key's target
     secret.  ct: int32[..., C, L, N] normalized; key_ntt:
     int32[P, D, rank, C2, Lk, N] with D == L.
@@ -80,13 +94,18 @@ def keyswitch(params: Params, ctx: NTTContext, ct, key_ntt,
     base_add: optional int32[..., C2, Lout, N] added to the result
     before the final normalize (fused into the kernel epilogue on the
     pallas path) -- callers that compute `x + KS(...)` (trace steps,
-    packer merges) pass x here and skip their own add+normalize."""
+    packer merges) pass x here and skip their own add+normalize.
+
+    in_digits / key_limbs: optional gadget truncation (read-path noise
+    trade, see params.Params.read_ks_digits): decompose only the top
+    in_digits input limbs against the top key_limbs key limbs."""
+    key_ntt = truncate_key(key_ntt, in_digits, key_limbs)
     P, D, rank, C2, Lk, n = key_ntt.shape
     L = ct.shape[-2]
-    assert D == L and ct.shape[-3] == rank + 1
+    assert D <= L and ct.shape[-3] == rank + 1
     Lout = out_limbs if out_limbs is not None else L
 
-    a = ct[..., :rank, :, :]  # [..., rank, L, N]
+    a = ct[..., :rank, :D, :]  # [..., rank, D, N] (top-D digits)
     b = ct[..., rank, :, :]   # [..., L, N]
 
     from ..ops import ntt as ntt_mod
@@ -134,14 +153,17 @@ def keyswitch(params: Params, ctx: NTTContext, ct, key_ntt,
 
 
 def automorphism_ks(params: Params, ctx: NTTContext, ct, g: int, key_ntt,
-                    out_limbs: int | None = None, base_add=None):
+                    out_limbs: int | None = None, base_add=None,
+                    in_digits: int | None = None,
+                    key_limbs: int | None = None):
     """sigma_g applied homomorphically: permute + key-switch."""
     ct_g = poly.automorphism(ct, g)
-    return keyswitch(params, ctx, ct_g, key_ntt, out_limbs, base_add=base_add)
+    return keyswitch(params, ctx, ct_g, key_ntt, out_limbs, base_add=base_add,
+                     in_digits=in_digits, key_limbs=key_limbs)
 
 
 def trace(params: Params, ctx: NTTContext, ct, auto_keys_ntt: dict,
-          keep_log: int = 0):
+          keep_log: int = 0, trunc: tuple = (None, None)):
     """Normalized partial trace: keeps the 2^keep_log coefficients at
     multiples of N/2^keep_log, zeroes the rest.  keep_log=0 is the full
     trace ([c_0, 0, ..., 0], reference trace_inplace(0, log_n),
@@ -170,20 +192,24 @@ def trace(params: Params, ctx: NTTContext, ct, auto_keys_ntt: dict,
         shift -= s
     ct = limb_ops.normalize(ct)
     return trace_steps(params, ctx, ct, auto_keys_ntt,
-                       params.trace_gal_els[:steps])
+                       params.trace_gal_els[:steps], trunc=trunc)
 
 
 def trace_steps(params: Params, ctx: NTTContext, ct, auto_keys_ntt: dict,
-                gals):
+                gals, trunc: tuple = (None, None)):
     """The division-free trace iteration ct <- normalize(ct +
     KS(sigma_g(ct))) for each g in gals, WITHOUT the up-front 1/2^steps
     pre-scale (callers pre-scale once; see trace()).
 
     On the pallas/MXU path the whole chain runs in ONE kernel launch:
     sequential grid over the steps, ct limbs resident in VMEM scratch,
-    automorphisms applied in-kernel (ops/ntt_pallas.fused_trace_pallas)."""
+    automorphisms applied in-kernel (ops/ntt_pallas.fused_trace_pallas).
+
+    trunc = (in_digits, key_limbs): optional read-path gadget
+    truncation per step (params.Params.read_ks_digits)."""
     if not gals:
         return ct
+    in_digits, key_limbs = trunc
     from ..ops import ntt as ntt_mod
 
     if ntt_mod.get_backend() == "pallas" and params.n == 4096:
@@ -193,16 +219,20 @@ def trace_steps(params: Params, ctx: NTTContext, ct, auto_keys_ntt: dict,
             pctx = ntt_pallas.get_pallas_context(params.n, ctx.primes)
             lead = ct.shape[:-3]
             ct2 = ct.reshape((-1,) + ct.shape[-3:])
-            P, D, rank, C2, Lk, n = auto_keys_ntt[gals[0]].shape
+            k0 = truncate_key(auto_keys_ntt[gals[0]], in_digits, key_limbs)
+            P, D, rank, C2, Lk, n = k0.shape
             keys = jnp.stack(
-                [jnp.transpose(auto_keys_ntt[g], (0, 2, 1, 3, 4, 5))
+                [jnp.transpose(
+                    truncate_key(auto_keys_ntt[g], in_digits, key_limbs),
+                    (0, 2, 1, 3, 4, 5))
                  .reshape(P, rank * D, C2 * Lk, n) for g in gals], axis=0)
             out = ntt_pallas.fused_trace_pallas(pctx, ct2, keys, tuple(gals))
             return out.reshape(lead + out.shape[1:])
 
     for g in gals:
         ct = automorphism_ks(params, ctx, ct, g, auto_keys_ntt[g],
-                             out_limbs=ct.shape[-2], base_add=ct)
+                             out_limbs=ct.shape[-2], base_add=ct,
+                             in_digits=in_digits, key_limbs=key_limbs)
     return ct
 
 

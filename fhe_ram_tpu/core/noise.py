@@ -87,50 +87,101 @@ def det_trunc(limbs: int) -> float:
     return 2.0 ** (-_B * limbs)
 
 
+def var_key_trunc(key_limbs_used: int, key_limbs_full: int) -> float:
+    """Extra per-row variance from consuming only the top
+    key_limbs_used limbs of a key generated at key_limbs_full (read-path
+    gadget truncation, params.Params.read_ks_limbs): the dropped limbs
+    are uniform base-2^b digits at their torus scale."""
+    return sum(var_trunc(l) for l in range(key_limbs_used, key_limbs_full))
+
+
+def var_digit_trunc(params: Params, digits_used: int, in_limbs: int,
+                    decomposed_components: int) -> float:
+    """Extra variance from decomposing only the top digits_used of
+    in_limbs input limbs (params.Params.read_ks_digits): the dropped
+    tail rides through as (tail * message) with |message| = 1, its
+    a-part additionally convolved with the sparse-ternary secret
+    (decomposed_components = rank for a keyswitch, rank+1 for an
+    external product -- the EP also truncates the b digits)."""
+    tail = sum(var_trunc(l) for l in range(digits_used, in_limbs))
+    conv = params.n * params.xs_density  # E[s^2] per convolution term
+    if decomposed_components > params.rank:  # EP: b-tail passes directly
+        return tail * (1.0 + params.rank * conv)
+    return tail * params.rank * conv
+
+
 def var_external_product(params: Params, digits: int, var_row: float,
-                         out_limbs: int, var_in: float = 0.0) -> float:
+                         out_limbs: int, var_in: float = 0.0,
+                         in_limbs: int | None = None) -> float:
     """Added-noise variance of GLWE x GGSW (core/ggsw.external_product).
 
-    digits: gadget rows consumed (== input ct limbs D);
+    digits: gadget rows consumed (== input ct limbs D, or fewer under
+    read-path truncation -- then pass the full limb count as in_limbs);
     var_row: per-coefficient noise variance of one GGSW row;
     var_in passes through when the GGSW message is a (signed) monomial.
     """
     c = params.rank + 1
-    return (var_in + c * digits * params.n * var_digit() * var_row
-            + var_trunc(out_limbs))
+    var = (var_in + c * digits * params.n * var_digit() * var_row
+           + var_trunc(out_limbs))
+    if in_limbs is not None and digits < in_limbs:
+        var += var_digit_trunc(params, digits, in_limbs, c)
+    return var
 
 
 def var_keyswitch(params: Params, digits: int, key_limbs: int,
-                  out_limbs: int, var_in: float = 0.0) -> float:
-    """Added-noise variance of one keyswitch (core/keyswitch.keyswitch)."""
-    var_row = var_fresh(params, key_limbs)
-    return (var_in + params.rank * digits * params.n * var_digit() * var_row
-            + var_trunc(out_limbs))
+                  out_limbs: int, var_in: float = 0.0,
+                  in_limbs: int | None = None,
+                  key_limbs_full: int | None = None) -> float:
+    """Added-noise variance of one keyswitch (core/keyswitch.keyswitch).
+
+    Read-path gadget truncation (params.Params.read_ks_digits): pass the
+    consumed digit/limb counts as digits/key_limbs and the full counts
+    as in_limbs/key_limbs_full."""
+    kf = key_limbs_full if key_limbs_full is not None else key_limbs
+    var_row = var_fresh(params, kf) + var_key_trunc(key_limbs, kf)
+    var = (var_in + params.rank * digits * params.n * var_digit() * var_row
+           + var_trunc(out_limbs))
+    if in_limbs is not None and digits < in_limbs:
+        var += var_digit_trunc(params, digits, in_limbs, params.rank)
+    return var
+
+
+def _ks_var_for(params: Params, ct_limbs: int,
+                trunc: tuple = (None, None)) -> float:
+    """Per-step keyswitch variance at the evk_trace parameterization,
+    optionally under read-path gadget truncation."""
+    in_digits, key_limbs = trunc
+    d = in_digits if in_digits is not None else ct_limbs
+    kl = key_limbs if key_limbs is not None else params.limbs_evk_trace
+    return var_keyswitch(params, d, kl, ct_limbs, in_limbs=ct_limbs,
+                         key_limbs_full=params.limbs_evk_trace)
 
 
 def trace_noise(params: Params, var_in: float, ct_limbs: int,
                 steps: int | None = None,
-                det_in: float = 0.0) -> tuple[float, float]:
+                det_in: float = 0.0,
+                trunc: tuple = (None, None)) -> tuple[float, float]:
     """(variance, deterministic) noise after the pre-scaled trace.
 
     Mirrors core/keyswitch.trace: one exact 1/2^S limb shift, then S
     unnormalized x + sigma_g(x) steps, each a keyswitch at the
-    evk_trace parameterization."""
+    evk_trace parameterization (optionally gadget-truncated on the read
+    path, params.Params.read_ks_digits)."""
     s = params.log_n if steps is None else steps
     if s == 0:
         return var_in, det_in
-    var_ks = var_keyswitch(params, ct_limbs, params.limbs_evk_trace, ct_limbs)
+    var_ks = _ks_var_for(params, ct_limbs, trunc)
     var = var_in + (4.0 ** s / 3.0) * var_ks
     det = det_in + 2.0 * 2.0 ** s * det_trunc(ct_limbs)
     return var, det
 
 
 def packer_noise(params: Params, var_in: float, ct_limbs: int,
-                 m: int) -> tuple[float, float]:
+                 m: int, trunc: tuple = (None, None)) -> tuple[float, float]:
     """(variance, deterministic) noise after packing M ciphertexts."""
     if m <= 1:
         return var_in, 0.0
-    var_ks = var_keyswitch(params, ct_limbs, params.limbs_evk_trace, ct_limbs)
+    var_ks = _ks_var_for(params, ct_limbs, trunc)
     var = var_in + (float(m) ** 2 / 3.0) * var_ks
     det = 2.0 * m * det_trunc(ct_limbs)
     return var, det
@@ -147,21 +198,28 @@ def bound_log2(var: float, det: float = 0.0) -> float:
 
 def read_noise_log2(params: Params) -> float:
     """Analytic bound for the encrypted-read output noise
-    (ram/ram.py read_impl: per-level CMux chains + packs, final trace)."""
+    (ram/ram.py read_impl: per-level CMux chains + packs, final trace),
+    including the params' read-path gadget truncation when set."""
     L = params.limbs_ct
-    var_row_addr = var_fresh(params, params.limbs_ggsw)
+    ep_d, ep_k = params.read_ep_trunc
+    ep_d = ep_d if ep_d is not None else L
+    ep_kl = ep_k if ep_k is not None else params.limbs_ggsw
+    kst = params.read_ks_trunc
+    var_row_addr = (var_fresh(params, params.limbs_ggsw)
+                    + var_key_trunc(ep_kl, params.limbs_ggsw))
     var = var_fresh(params, L)
     det = 0.0
     rows = params.num_rows
     for base1d in params.base2d().rows:
         for _ in base1d.bases:
-            var = var_external_product(params, L, var_row_addr, L, var)
+            var = var_external_product(params, ep_d, var_row_addr, L, var,
+                                       in_limbs=L)
         if rows > 1:
             m = 1 << max(1, (min(rows, params.n) - 1).bit_length())
-            var, d = packer_noise(params, var, L, m)
+            var, d = packer_noise(params, var, L, m, trunc=kst)
             det += d
             rows = -(-rows // params.n)
-    var, det = trace_noise(params, var, L, det_in=det)
+    var, det = trace_noise(params, var, L, det_in=det, trunc=kst)
     return bound_log2(var, det)
 
 

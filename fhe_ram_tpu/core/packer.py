@@ -56,15 +56,17 @@ _KS_CHUNK = 4096
 
 
 def _merge_level(params: Params, ctx: NTTContext, A, B, t: int, g: int,
-                 key_ntt):
+                 key_ntt, trunc: tuple = (None, None)):
     """One batched merge: normalize(A + X^t B + KS(sigma_g(A - X^t B))).
 
     On the pallas/MXU path the rotate, u/v combination, and automorphism
     all run inside the keyswitch kernel (ops/ntt_pallas.py
     fused_pack_merge_pallas); otherwise composed XLA glue +
-    automorphism_ks."""
+    automorphism_ks.  trunc = (in_digits, key_limbs): optional read-path
+    gadget truncation (params.Params.read_ks_digits)."""
     from ..ops import ntt as ntt_mod
 
+    in_digits, key_limbs = trunc
     if ntt_mod.get_backend() == "pallas" and params.n == 4096:
         from ..ops import ntt_pallas
 
@@ -73,6 +75,7 @@ def _merge_level(params: Params, ctx: NTTContext, A, B, t: int, g: int,
             lead = A.shape[:-3]
             A2 = A.reshape((-1,) + A.shape[-3:])
             B2 = B.reshape(A2.shape)
+            key_ntt = keyswitch.truncate_key(key_ntt, in_digits, key_limbs)
             P, D, rank, C2, Lk, n = key_ntt.shape
             k2 = jnp.transpose(key_ntt, (0, 2, 1, 3, 4, 5)).reshape(
                 P, rank * D, C2 * Lk, n)
@@ -83,7 +86,9 @@ def _merge_level(params: Params, ctx: NTTContext, A, B, t: int, g: int,
     u = A + xb
     v = A - xb
     return keyswitch.automorphism_ks(params, ctx, v, g, key_ntt,
-                                     out_limbs=v.shape[-2], base_add=u)
+                                     out_limbs=v.shape[-2], base_add=u,
+                                     in_digits=in_digits,
+                                     key_limbs=key_limbs)
 
 
 # max leaf count handled by the single-launch pack-tree kernel: the
@@ -124,11 +129,13 @@ def _pack_tree_fused(params: Params, ctx: NTTContext, cts, auto_keys_ntt):
     return out.reshape(lead + cts.shape[-3:])
 
 
-def pack(params: Params, ctx: NTTContext, cts, auto_keys_ntt: dict):
+def pack(params: Params, ctx: NTTContext, cts, auto_keys_ntt: dict,
+         trunc: tuple = (None, None)):
     """Pack cts[M, ..., C, L, N] (slot-0 values v_m) into one ct whose
     coefficient m equals v_m for all m < M.  M must be a power of two
     (pad with zero ciphertexts otherwise -- an all-zero ct is an exact
-    encryption of 0)."""
+    encryption of 0).  trunc = (in_digits, key_limbs): optional
+    read-path gadget truncation of the merge keyswitches."""
     M = cts.shape[0]
     n = params.n
     assert M & (M - 1) == 0, "pad input count to a power of two"
@@ -143,7 +150,8 @@ def pack(params: Params, ctx: NTTContext, cts, auto_keys_ntt: dict):
     if ntt_mod.get_backend() == "pallas" and n == 4096:
         from ..ops import ntt_pallas
 
-        if ntt_pallas._USE_MXU and _USE_TREE:
+        if (ntt_pallas._USE_MXU and _USE_TREE
+                and trunc == (None, None)):  # tree kernel: full gadget only
             # per-level merges until <= _TREE_MAX leaves remain (2^24's
             # first levels), then the whole remaining tree in ONE launch
             while cts.shape[0] > _TREE_MAX:
@@ -166,7 +174,8 @@ def pack(params: Params, ctx: NTTContext, cts, auto_keys_ntt: dict):
 
         nb = int(np.prod(A.shape[:-3]))
         if nb <= _KS_CHUNK or fused_path_active(params.n):
-            cts = _merge_level(params, ctx, A, B, t, g, auto_keys_ntt[g])
+            cts = _merge_level(params, ctx, A, B, t, g, auto_keys_ntt[g],
+                               trunc=trunc)
         else:
             # sequential lax.map slices (see ram._chunked_product note)
             step = max(1, _KS_CHUNK // max(1, nb // A.shape[0]))
@@ -176,7 +185,7 @@ def pack(params: Params, ctx: NTTContext, cts, auto_keys_ntt: dict):
             sliced_b = B.reshape(sliced_a.shape)
             cts = jax.lax.map(
                 lambda s: _merge_level(params, ctx, s[0], s[1], t, g,
-                                       auto_keys_ntt[g]),
+                                       auto_keys_ntt[g], trunc=trunc),
                 (sliced_a, sliced_b))
             cts = cts.reshape(A.shape)
     return cts[0]

@@ -1387,12 +1387,15 @@ def _stack_perm_tables(n: int, maps):
 
 def _trace_kernel_factory(primes, rank: int, L: int, Lk: int, S: int,
                           perm: _TilePerm | None = None,
-                          base2k: int = 17):
+                          base2k: int = 17, in_digits: int | None = None):
     """perm: a static _TilePerm when S == 1 (identity matmuls skipped);
-    None = generic stacked per-step tables (S > 1)."""
+    None = generic stacked per-step tables (S > 1).
+    in_digits: decompose only the top in_digits limbs of the a-part
+    (read-path gadget truncation, params.Params.read_ks_digits)."""
     P = len(primes)
     C2 = rank + 1
-    T = rank * L
+    Td = in_digits if in_digits is not None else L
+    T = rank * Td
     M = C2 * Lk
     nperm = len(perm.inputs()) if perm is not None else 4
 
@@ -1418,7 +1421,7 @@ def _trace_kernel_factory(primes, rank: int, L: int, Lk: int, S: int,
             sa = _perm_apply(ct, pl_ref[0], ps_ref[0], wm_ref[0], sg_ref[0])
 
         # keyswitch the a-part of sigma_g(ct) back to the base secret
-        digs = sa[:, :rank].reshape((ct.shape[0], T, _SL, _LN))
+        digs = sa[:, :rank, :Td].reshape((ct.shape[0], T, _SL, _LN))
         specs = [_fwd_tile_mxu(digs, cdig_ref[p], rdig_ref[p], ew_ref[p],
                                pp[p], ip[p]) for p in range(P)]
 
@@ -1463,7 +1466,9 @@ def fused_trace_pallas(ctx: NTTPallasContext, ct, keys_stacked, gal_els,
     B, C2, L, n_ = ct.shape
     S, P, T, M, n3 = keys_stacked.shape
     rank = C2 - 1
-    assert n_ == n and n3 == n and T == rank * L and M % C2 == 0
+    assert n_ == n and n3 == n and T % rank == 0 and M % C2 == 0
+    Td = T // rank  # truncated input digits (== L when not truncated)
+    assert Td <= L
     assert S == len(gal_els) and S >= 1
     Lk = M // C2
 
@@ -1503,7 +1508,8 @@ def fused_trace_pallas(ctx: NTTPallasContext, ct, keys_stacked, gal_els,
         pl.BlockSpec((P, 2, _SL, _LN), lambda b, s: (0, 0, 0, 0)),
     ]
     out = pl.pallas_call(
-        _trace_kernel_factory(ctx.primes, rank, L, Lk, S, perm),
+        _trace_kernel_factory(ctx.primes, rank, L, Lk, S, perm,
+                              in_digits=Td),
         grid=(Bp // _TBT, S),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((_TBT, C2, L, _SL, _LN),
@@ -1517,10 +1523,11 @@ def fused_trace_pallas(ctx: NTTPallasContext, ct, keys_stacked, gal_els,
 
 def _pack_kernel_factory(primes, rank: int, L: int, Lk: int,
                          rperm: _TilePerm, aperm: _TilePerm,
-                         base2k: int = 17):
+                         base2k: int = 17, in_digits: int | None = None):
     P = len(primes)
     C2 = rank + 1
-    T = rank * L
+    Td = in_digits if in_digits is not None else L
+    T = rank * Td
     M = C2 * Lk
     nperm = len(rperm.inputs()) + len(aperm.inputs())
 
@@ -1539,7 +1546,7 @@ def _pack_kernel_factory(primes, rank: int, L: int, Lk: int,
         v = A - xb
         sv = aperm.apply(v, perm_refs)
 
-        digs = sv[:, :rank].reshape((A.shape[0], T, _SL, _LN))
+        digs = sv[:, :rank, :Td].reshape((A.shape[0], T, _SL, _LN))
         specs = [_fwd_tile_mxu(digs, cdig_ref[p], rdig_ref[p], ew_ref[p],
                                pp[p], ip[p]) for p in range(P)]
 
@@ -1578,7 +1585,9 @@ def fused_pack_merge_pallas(ctx: NTTPallasContext, A, B, t_rot: int,
     nb, C2, L, n_ = A.shape
     P, T, M, n3 = key_ntt.shape
     rank = C2 - 1
-    assert n_ == n and n3 == n and T == rank * L and M % C2 == 0
+    assert n_ == n and n3 == n and T % rank == 0 and M % C2 == 0
+    Td = T // rank
+    assert Td <= L
     Lk = M // C2
 
     a = A.reshape(nb, C2, L, _SL, _LN)
@@ -1605,7 +1614,8 @@ def fused_pack_merge_pallas(ctx: NTTPallasContext, A, B, t_rot: int,
         const(P, 2, _SL, _LN),
     ]
     out = pl.pallas_call(
-        _pack_kernel_factory(ctx.primes, rank, L, Lk, rperm, aperm),
+        _pack_kernel_factory(ctx.primes, rank, L, Lk, rperm, aperm,
+                             in_digits=Td),
         grid=(Bp // _TBT,),
         in_specs=in_specs,
         out_specs=ct_spec,

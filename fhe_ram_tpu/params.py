@@ -157,11 +157,51 @@ class Params:
     xs_density: float = 0.5   # secret: sparse ternary, P[nonzero]
     sigma: float = 3.2        # noise std-dev at the finest limb scale
 
+    # READ-path gadget truncation (server-side, keys unchanged).  Read
+    # results are ephemeral -- they never persist into the RAM state --
+    # so the read pipeline can run its keyswitches/external products on
+    # a truncated gadget at a priced noise trade WITHOUT touching the
+    # write path's refresh budget (core/noise.py read_noise_log2 prices
+    # it; tests/test_noise.py asserts the decode bound).  Truncation is
+    # pure slicing: the top limbs of an NTT-prepared key ARE a valid
+    # lower-precision key (limb slicing commutes with the per-limb NTT),
+    # and the top input limbs ARE the coarse gadget digits.
+    #   read_ks_digits: input digits decomposed in pack/trace
+    #     keyswitches (None = limbs_ct).
+    #   read_ks_limbs: evaluation-key limbs consumed there
+    #     (None = limbs_evk_trace).
+    #   read_ep_digits / read_ep_limbs: same for the read's coordinate
+    #     external products (digits: ct limbs; limbs: address-GGSW
+    #     limbs).  read_ep_digits requires single-digit coordinates
+    #     (wide decomp_n) -- chained CMux digits re-decompose in-kernel.
+    read_ks_digits: int | None = None
+    read_ks_limbs: int | None = None
+    read_ep_digits: int | None = None
+    read_ep_limbs: int | None = None
+
     def __post_init__(self):
         assert sum(self.decomp_n) == self.log_n, "decomp_n must sum to log_n"
         assert self.base2k == 17, "only base2k=17 is wired up"
         for p in self.primes:
             assert (p - 1) % (2 << self.log_n) == 0, "prime lacks 2N-th root"
+        if self.read_ks_digits is not None:
+            assert 1 <= self.read_ks_digits <= self.limbs_ct
+        if self.read_ks_limbs is not None:
+            assert 1 <= self.read_ks_limbs <= self.limbs_evk_trace
+        if self.read_ep_digits is not None:
+            assert 1 <= self.read_ep_digits <= self.limbs_ct
+            assert max(len(r.bases) for r in self.base2d().rows) == 1, (
+                "read_ep_digits needs single-digit (wide) coordinates")
+        if self.read_ep_limbs is not None:
+            assert 1 <= self.read_ep_limbs <= self.limbs_ggsw
+
+    @property
+    def read_ks_trunc(self) -> tuple[int | None, int | None]:
+        return (self.read_ks_digits, self.read_ks_limbs)
+
+    @property
+    def read_ep_trunc(self) -> tuple[int | None, int | None]:
+        return (self.read_ep_digits, self.read_ep_limbs)
 
     @property
     def n(self) -> int:
@@ -265,6 +305,26 @@ PARAMS_2_24_WIDE = Params(max_addr=1 << 24, decomp_n=(12,))
 # and refresh budget 4.9e7 RMW cycles -- still above the reference's
 # published >= ~40M (README.md:36); see tests/test_noise.py.
 PARAMS_2_18_TURBO = Params(decomp_n=(12,), k_ggsw=51)
+
+# Read-optimized: wide digits + READ-path gadget truncation (see the
+# Params docstring fields).  Every read keyswitch decomposes 2 of 3
+# input digits against 3 of 4 evaluation-key limbs, and every read
+# coordinate product consumes 2 of 3 ct digits against 3 of 4 address-
+# GGSW limbs -- ~35% less inverse-transform/VMP work on the read's
+# critical path.  Pure server-side slicing: keys, address, and the
+# WRITE path (and hence the refresh budget) are identical to
+# PARAMS_2_18_WIDE.  Analytic read bound: core/noise.py prices the
+# truncation (tests/test_noise.py asserts it under the decode bound).
+PARAMS_2_18_READOPT = Params(
+    decomp_n=(12,),
+    read_ks_digits=2, read_ks_limbs=3,
+    read_ep_digits=2, read_ep_limbs=3,
+)
+PARAMS_2_24_READOPT = Params(
+    max_addr=1 << 24, decomp_n=(12,),
+    read_ks_digits=2, read_ks_limbs=3,
+    read_ep_digits=2, read_ep_limbs=3,
+)
 
 # Small parameters for fast CPU tests (same limb structure, tiny ring).
 PARAMS_TEST_SMALL = Params(

@@ -105,27 +105,47 @@ def prepare(ctx: NTTContext, addr: Address) -> AddressPrepared:
 _CHAIN_MAX = 4
 
 
-def coordinate_product(params: Params, ctx: NTTContext, ct, coord_prep):
+def _truncate_coord(coord_prep, trunc, dig: int):
+    """Read-path gadget truncation of a prepared coordinate
+    [..., dig, D, C, C2, Lg, N] (params.Params.read_ep_digits): keep the
+    top in_digits gadget rows / top key_limbs GGSW limbs.  Digit
+    truncation needs dig == 1 -- chained CMux digits re-decompose the
+    full-limb carry in-kernel."""
+    in_digits, key_limbs = trunc
+    if in_digits is not None:
+        assert dig == 1, "read_ep_digits needs single-digit coordinates"
+        coord_prep = coord_prep[..., :in_digits, :, :, :, :]
+    if key_limbs is not None:
+        coord_prep = coord_prep[..., :key_limbs, :]
+    return coord_prep
+
+
+def coordinate_product(params: Params, ctx: NTTContext, ct, coord_prep,
+                       trunc: tuple = (None, None)):
     """Chained external products of all digit GGSWs of one coordinate
     (the CMux chain, src/coordinate_prepared.rs:145-178).  ct may carry
     leading batch dims.
 
     On the pallas backend the whole chain (up to _CHAIN_MAX digits) runs
     as ONE kernel: each digit's fold+normalize output feeds the next
-    digit's gadget decomposition without leaving VMEM."""
+    digit's gadget decomposition without leaving VMEM.
+
+    trunc = (in_digits, key_limbs): optional read-path gadget truncation
+    (params.Params.read_ep_digits)."""
     from ..ops import ntt as ntt_mod
 
     dig = coord_prep.shape[1]
+    coord_prep = _truncate_coord(coord_prep, trunc, dig)
     n = params.n
     P, _, D, C, C2, Lg, _n = coord_prep.shape
     L = ct.shape[-2]
     if (ntt_mod.get_backend() == "pallas" and n == 4096 and C2 == C
-            and D == L):
+            and D <= L and (D == L or dig == 1)):
         from ..ops.ntt_pallas import get_pallas_context, fused_external_fold_pallas
 
         pctx = get_pallas_context(n, ctx.primes)
         lead_shape = ct.shape[:-3]
-        x = ct.reshape((-1, C * D, n))
+        x = ct[..., :D, :].reshape((-1, C * D, n))
         # [P, dig, D, C, C2, Lg, N] -> [P, dig, C*D, C2*Lg, N]
         keys = jnp.transpose(coord_prep, (0, 1, 3, 2, 4, 5, 6)).reshape(
             P, dig, C * D, C2 * Lg, n)
@@ -141,7 +161,8 @@ def coordinate_product(params: Params, ctx: NTTContext, ct, coord_prep):
 
 
 def coordinate_product_batched(params: Params, ctx: NTTContext, ct,
-                               coords_prep_b, ct_ntt=None):
+                               coords_prep_b, ct_ntt=None,
+                               trunc: tuple = (None, None)):
     """coordinate_product of ONE shared ct against a BATCH of prepared
     coordinates (leading axis B).  Returns [B, ...ct.shape].
 
@@ -159,11 +180,12 @@ def coordinate_product_batched(params: Params, ctx: NTTContext, ct,
     from ..ops import ntt as ntt_mod
 
     dig = coords_prep_b.shape[2]
+    coords_prep_b = _truncate_coord(coords_prep_b, trunc, dig)
     n = params.n
     _B, P, _, D, C, C2, Lg, _n = coords_prep_b.shape
     L = ct.shape[-2]
     if (ntt_mod.get_backend() == "pallas" and n == 4096 and C2 == C
-            and D == L and dig <= _CHAIN_MAX):
+            and D <= L and (D == L or dig == 1) and dig <= _CHAIN_MAX):
         from ..ops.ntt_pallas import (
             get_pallas_context, fused_external_fold_batched, ntt_fwd_pallas)
 
@@ -171,8 +193,14 @@ def coordinate_product_batched(params: Params, ctx: NTTContext, ct,
         B = coords_prep_b.shape[0]
         lead_shape = ct.shape[:-3]
         if ct_ntt is None:
-            x = ct.reshape((-1, C * D, n))
+            x = ct[..., :D, :].reshape((-1, C * D, n))
             ct_ntt = ntt_fwd_pallas(pctx, x)  # [P, rows, T, N], shared
+        elif D < L:
+            # the spectral cache holds all C*L digit rows; keep the top
+            # D per component (row slicing commutes with the transform)
+            rows = ct_ntt.shape[1]
+            ct_ntt = ct_ntt.reshape(P, rows, C, L, n)[:, :, :, :D]
+            ct_ntt = ct_ntt.reshape(P, rows, C * D, n)
         keys = jnp.transpose(coords_prep_b, (0, 1, 2, 4, 3, 5, 6, 7)).reshape(
             B, P, dig, C * D, C2 * Lg, n)
         # the WHOLE batched level: shared spectral digit 0 + per-address
@@ -182,7 +210,8 @@ def coordinate_product_batched(params: Params, ctx: NTTContext, ct,
         return y.reshape((B,) + lead_shape + (C2, L, n))
 
     return jax.lax.map(
-        lambda c: coordinate_product(params, ctx, ct, c), coords_prep_b)
+        lambda c: coordinate_product(params, ctx, ct, c, trunc=trunc),
+        coords_prep_b)
 
 
 def spectral_cache(params: Params, ctx: NTTContext, ct):
@@ -207,7 +236,7 @@ def spectral_cache(params: Params, ctx: NTTContext, ct):
 
 
 def coordinate_product_perbatch(params: Params, ctx: NTTContext, ct_b,
-                                coords_prep_b):
+                                coords_prep_b, trunc: tuple = (None, None)):
     """Per-item coordinate products: ct_b[a] x coords_prep_b[a] for every
     a of the leading batch axis, in ONE kernel launch on the pallas
     backend (per-address kernel calls would serialize on dispatch).
@@ -217,16 +246,17 @@ def coordinate_product_perbatch(params: Params, ctx: NTTContext, ct_b,
     from ..ops import ntt as ntt_mod
 
     dig = coords_prep_b.shape[2]
+    coords_prep_b = _truncate_coord(coords_prep_b, trunc, dig)
     n = params.n
     A, P, _, D, C, C2, Lg, _n = coords_prep_b.shape
     L = ct_b.shape[-2]
     if (ntt_mod.get_backend() == "pallas" and n == 4096 and C2 == C
-            and D == L):
+            and D <= L and (D == L or dig == 1)):
         from ..ops.ntt_pallas import get_pallas_context, fused_external_fold_batched
 
         pctx = get_pallas_context(n, ctx.primes)
         lead_shape = ct_b.shape[1:-3]
-        x = ct_b.reshape((A, -1, C * D, n))
+        x = ct_b[..., :D, :].reshape((A, -1, C * D, n))
         keys = jnp.transpose(coords_prep_b, (0, 1, 2, 4, 3, 5, 6, 7)).reshape(
             A, P, dig, C * D, C2 * Lg, n)
         for s0 in range(0, dig, _CHAIN_MAX):
@@ -236,5 +266,6 @@ def coordinate_product_perbatch(params: Params, ctx: NTTContext, ct_b,
         return x.reshape((A,) + lead_shape + (C2, L, n))
 
     return jax.lax.map(
-        lambda args: coordinate_product(params, ctx, args[0], args[1]),
+        lambda args: coordinate_product(params, ctx, args[0], args[1],
+                                        trunc=trunc),
         (ct_b, coords_prep_b))

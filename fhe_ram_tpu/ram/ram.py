@@ -84,7 +84,8 @@ def encrypt_write_word(params: Params, ctx: NTTContext, s_ntt, word_bytes,
 # server-side: jitted read / rpw / write implementations
 # --------------------------------------------------------------------------
 
-def _pack_rows(params: Params, ctx: NTTContext, cur, atk):
+def _pack_rows(params: Params, ctx: NTTContext, cur, atk,
+               trunc: tuple = (None, None)):
     """Pack each N-row chunk's slot-0s into one row: [W, R, C, L, N] ->
     [W, ceil(R/N), C, L, N]."""
     W, R = cur.shape[0], cur.shape[1]
@@ -99,7 +100,7 @@ def _pack_rows(params: Params, ctx: NTTContext, cur, atk):
             pad = jnp.zeros((W, M - Rc) + rows.shape[2:], dtype=cur.dtype)
             rows = jnp.concatenate([rows, pad], axis=1)
         cts = jnp.moveaxis(rows, 1, 0)  # [M, W, C, L, N]
-        outs.append(packer.pack(params, ctx, cts, atk))  # [W, C, L, N]
+        outs.append(packer.pack(params, ctx, cts, atk, trunc=trunc))
     return jnp.stack(outs, axis=1)
 
 
@@ -116,38 +117,47 @@ def _fused_kernel_path(params: Params) -> bool:
     return fused_path_active(params.n)
 
 
-def _chunked_product(params: Params, ctx: NTTContext, cur, coord):
+def _chunked_product(params: Params, ctx: NTTContext, cur, coord,
+                     trunc: tuple = (None, None)):
     W, R = cur.shape[0], cur.shape[1]
     if W * R <= _PRODUCT_CHUNK_ROWS or _fused_kernel_path(params):
-        return address_mod.coordinate_product(params, ctx, cur, coord)
+        return address_mod.coordinate_product(params, ctx, cur, coord,
+                                              trunc=trunc)
     # lax.map (not an unrolled python loop): XLA's scheduler interleaves
     # independent unrolled slices and keeps all their temps live; the
     # sequential loop reuses one slice's buffers.
     step = max(1, _PRODUCT_CHUNK_ROWS // W)
     if R % step != 0:
         # non-divisible geometry: unrolled slices (rare; memory-looser)
-        outs = [address_mod.coordinate_product(params, ctx,
-                                               cur[:, r0 : r0 + step], coord)
+        outs = [address_mod.coordinate_product(
+                    params, ctx, cur[:, r0 : r0 + step], coord, trunc=trunc)
                 for r0 in range(0, R, step)]
         return jnp.concatenate(outs, axis=1)
     sliced = cur.reshape(cur.shape[0], R // step, step, *cur.shape[2:])
     sliced = jnp.moveaxis(sliced, 1, 0)  # [nslices, W, step, C, L, N]
     out = jax.lax.map(
-        lambda s: address_mod.coordinate_product(params, ctx, s, coord), sliced)
+        lambda s: address_mod.coordinate_product(params, ctx, s, coord,
+                                                 trunc=trunc), sliced)
     return jnp.moveaxis(out, 0, 1).reshape(
         cur.shape[0], R, *out.shape[3:])
 
 
 def read_impl(params: Params, ctx: NTTContext, data, coords, atk):
     """Encrypted read (reference SubRam::read, src/ram.rs:382-459), all
-    subrams batched.  coords: tuple of prepared coordinates."""
+    subrams batched.  coords: tuple of prepared coordinates.
+
+    Read results are ephemeral, so the whole pipeline runs with the
+    params' READ-path gadget truncation (params.Params.read_ks_digits
+    ff.; the write path never truncates)."""
+    ept, kst = params.read_ep_trunc, params.read_ks_trunc
     n2 = len(coords)
     cur = data
     for i in range(n2 - 1):
-        cur = _chunked_product(params, ctx, cur, coords[i])
-        cur = _pack_rows(params, ctx, cur, atk)
-    cur = address_mod.coordinate_product(params, ctx, cur[:, 0], coords[n2 - 1])
-    return keyswitch.trace(params, ctx, cur, atk)  # [W, C, L, N]
+        cur = _chunked_product(params, ctx, cur, coords[i], trunc=ept)
+        cur = _pack_rows(params, ctx, cur, atk, trunc=kst)
+    cur = address_mod.coordinate_product(params, ctx, cur[:, 0],
+                                         coords[n2 - 1], trunc=ept)
+    return keyswitch.trace(params, ctx, cur, atk, trunc=kst)  # [W, C, L, N]
 
 
 # addresses per batched-read slice: the level-0 intermediate is
@@ -196,22 +206,25 @@ def read_batch_impl(params: Params, ctx: NTTContext, data, coords_b, atk,
 
 def _read_batch_slice(params: Params, ctx: NTTContext, data, coords_b, atk,
                       data_ntt=None):
+    ept, kst = params.read_ep_trunc, params.read_ks_trunc
     n2 = len(coords_b)
     B = coords_b[0].shape[0]
     W = data.shape[0]
     # [B, W, R, C, L, N]
     cur = address_mod.coordinate_product_batched(params, ctx, data,
-                                                 coords_b[0], data_ntt)
+                                                 coords_b[0], data_ntt,
+                                                 trunc=ept)
     for i in range(1, n2):
         flat = cur.reshape((B * W,) + cur.shape[2:])
-        flat = _pack_rows(params, ctx, flat, atk)
+        flat = _pack_rows(params, ctx, flat, atk, trunc=kst)
         cur = flat.reshape((B, W) + flat.shape[1:])
         if i == n2 - 1:
             cur = cur[:, :, 0]  # [B, W, C, L, N]
         cur = address_mod.coordinate_product_perbatch(params, ctx, cur,
-                                                      coords_b[i])
+                                                      coords_b[i], trunc=ept)
     out = keyswitch.trace(params, ctx,
-                          cur.reshape((B * W,) + cur.shape[2:]), atk)
+                          cur.reshape((B * W,) + cur.shape[2:]), atk,
+                          trunc=kst)
     return out.reshape((B, W) + out.shape[1:])
 
 
@@ -222,11 +235,15 @@ def rpw_impl(params: Params, ctx: NTTContext, data, coords, atk):
     levels = []
     cur = data
     for i in range(n2):
+        # NO gadget truncation here: the products/packs persist into the
+        # tree (write path), so they stay at full precision; only the
+        # final trace (read output, ephemeral) truncates.
         cur = _chunked_product(params, ctx, cur, coords[i])
         levels.append(cur)
         if i < n2 - 1:
             cur = _pack_rows(params, ctx, cur, atk)
-    out = keyswitch.trace(params, ctx, levels[-1][:, 0], atk)
+    out = keyswitch.trace(params, ctx, levels[-1][:, 0], atk,
+                          trunc=params.read_ks_trunc)
     return out, levels[0], tuple(levels[1:])
 
 

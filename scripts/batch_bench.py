@@ -18,7 +18,7 @@ from functools import partial
 
 from fhe_ram_tpu.params import (
     PARAMS_README_2_18, PARAMS_2_24, PARAMS_CODE_2_14, PARAMS_2_18_WIDE,
-    PARAMS_2_24_WIDE)
+    PARAMS_2_24_WIDE, PARAMS_2_18_READOPT, PARAMS_2_24_READOPT)
 from fhe_ram_tpu.ops.ntt import get_ntt_context
 from fhe_ram_tpu.core import glwe, keys, rng
 from fhe_ram_tpu.ram import address as address_mod
@@ -29,10 +29,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="2_18")
     ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--cached", action="store_true",
+                    help="use the spectral data cache (read-heavy mode)")
     args = ap.parse_args()
     par = {"2_18": PARAMS_README_2_18, "2_24": PARAMS_2_24,
            "2_14": PARAMS_CODE_2_14, "2_18w": PARAMS_2_18_WIDE,
-           "2_24w": PARAMS_2_24_WIDE}[args.config]
+           "2_24w": PARAMS_2_24_WIDE, "2_18r": PARAMS_2_18_READOPT,
+           "2_24r": PARAMS_2_24_READOPT}[args.config]
 
     cpu = jax.devices("cpu")[0]
     tpu = jax.devices()[0]
@@ -69,12 +72,20 @@ def main():
     atk_dev = jax.device_put(ekp.atk_glwe, tpu)
     coords_dev = jax.device_put(coords, tpu)
 
-    fn = jax.jit(partial(ram_mod.read_batch_impl, par, ctx))
+    cache_dev = None
+    if args.cached:
+        cache_dev = jax.jit(
+            lambda d: address_mod.spectral_cache(par, ctx, d))(ram_dev)
+        jax.block_until_ready(cache_dev)
+
+    fn = jax.jit(lambda d, c, a: ram_mod.read_batch_impl(
+        par, ctx, d, c, a, cache_dev))
     # timing fetches ONE scalar (the full [B, W, C, L, N] output is
     # ~25 MB -- fetching it over the axon tunnel would dominate)
     fn_scalar = jax.jit(
-        lambda d, c, a: jnp.sum(ram_mod.read_batch_impl(par, ctx, d, c, a)
-                                [:, :, :, 0, 0]))
+        lambda d, c, a: jnp.sum(
+            ram_mod.read_batch_impl(par, ctx, d, c, a, cache_dev)
+            [:, :, :, 0, 0]))
 
     t0 = time.time()
     out = np.asarray(fn(ram_dev, coords_dev, atk_dev))
