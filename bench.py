@@ -44,6 +44,12 @@ def main():
         from fhe_ram_tpu.params import PARAMS_README_2_18 as par
     elif _decomp == "wide":
         from fhe_ram_tpu.params import PARAMS_2_18_WIDE as par
+    elif _decomp == "turbo":
+        # turbo x readopt cross: 3-limb address GGSWs shrink the WRITE
+        # path's inverse products 25% (read path identical to READOPT);
+        # refresh budget 4.9e7 -- above the reference's 40M but below
+        # READOPT's 1.33e8, so it is opt-in rather than the default.
+        from fhe_ram_tpu.params import PARAMS_2_18_TURBO_READOPT as par
     else:
         from fhe_ram_tpu.params import PARAMS_2_18_READOPT as par
     from fhe_ram_tpu.ops.ntt import get_ntt_context
@@ -134,6 +140,54 @@ def main():
     t1, tk = best_of(f1), best_of(fk)
     read_ms = (tk - t1) / (k - 1) * 1000.0
 
+    # cached read: the spectral data cache (address-independent forward
+    # NTT of the RAM's gadget digits, FheRam.spectral_cache) is a
+    # legitimate per-state precomputation for read-heavy workloads --
+    # reported as an EXTRA key; the headline stays the uncached read.
+    cached_read_ms = None
+    if os.environ.get("FHERAM_BENCH_CACHED", "1") == "1":
+        try:
+            from fhe_ram_tpu.ram.address import spectral_cache
+            from fhe_ram_tpu.ram.ram import read_batch_impl
+            cache_dev = jax.jit(
+                lambda d: spectral_cache(par, ctx, d))(ram_dev)
+
+            def k_cached_fn(k):
+                def fn(data_in, coords_in, atk_in, cache_in):
+                    def body(carry, cs):
+                        out = read_batch_impl(
+                            par, ctx, data_in,
+                            jax.tree.map(lambda c: c[None], cs),
+                            atk_in, cache_in)[0]
+                        return carry + jnp.sum(out[:, :, 0, 0]), None
+
+                    cs_k = jax.tree.map(lambda c: c[:k], coords_in)
+                    acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.int32),
+                                          cs_k)
+                    return acc
+
+                return jax.jit(fn)
+
+            g1, gk = k_cached_fn(1), k_cached_fn(k)
+
+            def best_cached(fn, n=3):
+                ts = []
+                for _ in range(n):
+                    t0 = time.perf_counter()
+                    np.asarray(fn(ram_dev, coords_k_dev, keys_dev.atk_glwe,
+                                  cache_dev))
+                    ts.append(time.perf_counter() - t0)
+                return min(ts)
+
+            np.asarray(g1(ram_dev, coords_k_dev, keys_dev.atk_glwe,
+                          cache_dev))
+            np.asarray(gk(ram_dev, coords_k_dev, keys_dev.atk_glwe,
+                          cache_dev))
+            cached_read_ms = ((best_cached(gk) - best_cached(g1))
+                              / (k - 1) * 1000.0)
+        except Exception as e:  # pragma: no cover
+            print(f"cached-read bench skipped: {e}", file=sys.stderr)
+
     def best_cycle(fn, n=3):
         ts = []
         for _ in range(n):
@@ -196,6 +250,8 @@ def main():
     if rmw_ms is not None:
         result["rpw_plus_write_ms"] = round(rmw_ms, 3)
         result["write_vs_baseline"] = round(BASELINE_WRITE_MS / rmw_ms, 2)
+    if cached_read_ms is not None:
+        result["read_cached_ms"] = round(cached_read_ms, 3)
     print(json.dumps(result))
 
 

@@ -326,6 +326,19 @@ PARAMS_2_24_READOPT = Params(
     read_ep_digits=2, read_ep_limbs=3,
 )
 
+# Turbo x read-optimized cross: k_ggsw=51 address GGSWs (3 limbs) PLUS
+# the read-path truncation.  The read path is identical to READOPT
+# (read_ep_limbs=3 already consumes only 3 GGSW limbs); the gain is on
+# the WRITE path, whose inverse-coordinate products consume the full
+# GGSW -- 25% less VMP and 2 fewer inverse transforms per EP there.
+# Analytic read bound -16.3 (same as READOPT -- trace noise dominates);
+# refresh budget 4.9e7 RMW cycles, still above the reference's >= ~40M.
+PARAMS_2_18_TURBO_READOPT = Params(
+    decomp_n=(12,), k_ggsw=51,
+    read_ks_digits=2, read_ks_limbs=3,
+    read_ep_digits=2, read_ep_limbs=3,
+)
+
 # Small parameters for fast CPU tests (same limb structure, tiny ring).
 PARAMS_TEST_SMALL = Params(
     log_n=6,

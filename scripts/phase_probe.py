@@ -19,7 +19,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from fhe_ram_tpu.params import PARAMS_README_2_18, PARAMS_2_18_WIDE
+from fhe_ram_tpu.params import (
+    PARAMS_README_2_18, PARAMS_2_18_WIDE, PARAMS_2_18_READOPT)
 from fhe_ram_tpu.ops.ntt import get_ntt_context
 from fhe_ram_tpu.core import glwe, keys, keyswitch, rng
 from fhe_ram_tpu.ram import address as address_mod, ram as ram_mod
@@ -32,7 +33,11 @@ def main():
     args = ap.parse_args()
     k = args.k
     global par
-    par = {"2_18": PARAMS_README_2_18, "2_18w": PARAMS_2_18_WIDE}[args.config]
+    par = {"2_18": PARAMS_README_2_18, "2_18w": PARAMS_2_18_WIDE,
+           "2_18r": PARAMS_2_18_READOPT}[args.config]
+    # read-path gadget truncation (identity (None, None) on non-READOPT
+    # configs) -- matches what read_impl applies internally
+    tr_ep, tr_ks = par.read_ep_trunc, par.read_ks_trunc
 
     tpu = jax.devices()[0]
     print("device:", tpu, flush=True)
@@ -103,15 +108,15 @@ def main():
 
     # ---- full level-0 coordinate product (4 digits)
     def coord_prod(x):
-        return address_mod.coordinate_product(par, ctx, x, d0)
+        return address_mod.coordinate_product(par, ctx, x, d0, trunc=tr_ep)
 
     t_l0 = measure("level0 coordinate product (4 digits)", coord_prod, cur0)
 
     # ---- pack 64 -> 1
-    lvl0 = jax.jit(lambda x: address_mod.coordinate_product(par, ctx, x, d0))(ram_dev)
+    lvl0 = jax.jit(lambda x: address_mod.coordinate_product(par, ctx, x, d0, trunc=tr_ep))(ram_dev)
 
     def pack_fn(x):
-        return ram_mod._pack_rows(par, ctx, x, atk)[:, 0][:, None].repeat(64, 1)
+        return ram_mod._pack_rows(par, ctx, x, atk, trunc=tr_ks)[:, 0][:, None].repeat(64, 1)
 
     # chain shape mismatch: pack output is [W, 1, ...]; broadcast back so
     # the scan carry keeps the input shape (timing includes the repeat --
@@ -119,19 +124,19 @@ def main():
     t_pack = measure("pack 64->1 (6 merge levels)", pack_fn, lvl0)
 
     # ---- level-1 coordinate product (2 digits, 4 rows)
-    packed = jax.jit(lambda x: ram_mod._pack_rows(par, ctx, x, atk))(lvl0)
+    packed = jax.jit(lambda x: ram_mod._pack_rows(par, ctx, x, atk, trunc=tr_ks))(lvl0)
     d1 = coords[1]
 
     def l1_fn(x):
-        return address_mod.coordinate_product(par, ctx, x, d1)
+        return address_mod.coordinate_product(par, ctx, x, d1, trunc=tr_ep)
 
     t_l1 = measure("level1 coordinate product (2 digits, W rows)", l1_fn, packed[:, 0])
 
     # ---- final trace (12 keyswitches, W rows)
-    sel = jax.jit(lambda x: address_mod.coordinate_product(par, ctx, x, d1))(packed[:, 0])
+    sel = jax.jit(lambda x: address_mod.coordinate_product(par, ctx, x, d1, trunc=tr_ep))(packed[:, 0])
 
     def trace_fn(x):
-        return keyswitch.trace(par, ctx, x, atk)
+        return keyswitch.trace(par, ctx, x, atk, trunc=tr_ks)
 
     t_tr = measure("final trace (12 steps, W rows)", trace_fn, sel)
 

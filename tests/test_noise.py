@@ -172,3 +172,7 @@ def test_refresh_budget_production():
     # decode bound AND the reference's published refresh budget
     assert noise.read_noise_log2(PARAMS_2_18_TURBO) < -(PARAMS_2_18_TURBO.k_pt + 1)
     assert noise.refresh_budget(PARAMS_2_18_TURBO) >= 40_000_000
+    # turbo x readopt cross: truncated read path on 3-limb address GGSWs
+    from fhe_ram_tpu.params import PARAMS_2_18_TURBO_READOPT as _tr
+    assert noise.read_noise_log2(_tr) < -(_tr.k_pt + 1)
+    assert noise.refresh_budget(_tr) >= 40_000_000
