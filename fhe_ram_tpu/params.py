@@ -326,6 +326,16 @@ PARAMS_2_24_READOPT = Params(
     read_ep_digits=2, read_ep_limbs=3,
 )
 
+# 2^14 read-optimized: the code-default config takes the same ks
+# truncation and a DEEPER ep truncation (1 of 3 ct digits): at k_pt=3
+# the decode bound is -4, so the analytic read bound -10.2 keeps a
+# 6-bit margin (tests/test_noise.py).
+PARAMS_2_14_READOPT = Params(
+    k_pt=3, max_addr=1 << 14, decomp_n=(12,),
+    read_ks_digits=2, read_ks_limbs=3,
+    read_ep_digits=1, read_ep_limbs=3,
+)
+
 # Turbo x read-optimized cross: k_ggsw=51 address GGSWs (3 limbs) PLUS
 # the read-path truncation.  The read path is identical to READOPT
 # (read_ep_limbs=3 already consumes only 3 GGSW limbs); the gain is on

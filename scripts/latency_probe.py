@@ -18,7 +18,7 @@ from functools import partial
 
 from fhe_ram_tpu.params import (
     PARAMS_README_2_18, PARAMS_CODE_2_14, PARAMS_2_18_WIDE, PARAMS_2_14_WIDE,
-    PARAMS_2_18_TURBO, PARAMS_2_18_READOPT)
+    PARAMS_2_18_TURBO, PARAMS_2_18_READOPT, PARAMS_2_14_READOPT)
 
 CONFIGS = {
     "2_18": PARAMS_README_2_18,
@@ -27,6 +27,7 @@ CONFIGS = {
     "2_14w": PARAMS_2_14_WIDE,
     "2_18t": PARAMS_2_18_TURBO,
     "2_18r": PARAMS_2_18_READOPT,
+    "2_14r": PARAMS_2_14_READOPT,
 }
 from fhe_ram_tpu.ops.ntt import get_ntt_context
 from fhe_ram_tpu.core import glwe, keys, rng

@@ -176,3 +176,8 @@ def test_refresh_budget_production():
     from fhe_ram_tpu.params import PARAMS_2_18_TURBO_READOPT as _tr
     assert noise.read_noise_log2(_tr) < -(_tr.k_pt + 1)
     assert noise.refresh_budget(_tr) >= 40_000_000
+    # 2^14 readopt: deeper ep truncation must keep a >= 6-bit margin to
+    # the k_pt=3 decode bound
+    from fhe_ram_tpu.params import PARAMS_2_14_READOPT as _r14
+    assert noise.read_noise_log2(_r14) < -(_r14.k_pt + 1) - 6
+    assert noise.refresh_budget(_r14) >= 40_000_000
