@@ -105,6 +105,27 @@ def _merge_level(params: Params, ctx: NTTContext, A, B, t: int, g: int,
 _TREE_MAX = 32
 _USE_TREE = os.environ.get("FHERAM_PACK_TREE") == "1"
 
+# The one-launch tree kernel takes no gadget-truncation arguments, so
+# FHERAM_PACK_TREE=1 only covers full-gadget packs; truncated packs
+# (READOPT read path) run the per-level merge kernels regardless of the
+# flag.  Warn once so the flag's partial coverage is visible instead of
+# silent (the per-level path is bit-exact -- this is a perf surprise,
+# not a correctness one).
+_warned_tree_trunc = False
+
+
+def _warn_tree_trunc_fallback():
+    global _warned_tree_trunc
+    if not _warned_tree_trunc:
+        _warned_tree_trunc = True
+        import warnings
+
+        warnings.warn(
+            "FHERAM_PACK_TREE=1: gadget-truncated packs (read path under "
+            "PARAMS_*_READOPT) fall back to per-level merge kernels; the "
+            "one-launch tree kernel only runs full-gadget packs "
+            "(write/rpw path).", stacklevel=3)
+
 
 def _pack_tree_fused(params: Params, ctx: NTTContext, cts, auto_keys_ntt):
     """All remaining levels in ONE kernel (ops/ntt_pallas
@@ -129,6 +150,70 @@ def _pack_tree_fused(params: Params, ctx: NTTContext, cts, auto_keys_ntt):
     return out.reshape(lead + cts.shape[-3:])
 
 
+def pack_tree(params: Params, ctx: NTTContext, cts, auto_keys_ntt: dict,
+              dilate: int = 1, prescale: bool = True,
+              trunc: tuple = (None, None)):
+    """The dilated pack tree: packs cts[M, ..., C, L, N] so that leaf j's
+    slot-0 value lands at coefficient j * dilate.
+
+    This is the sub-tree of a (dilate*M)-leaf global pack restricted to
+    the leaves congruent to a fixed residue mod `dilate` -- level ll here
+    is global level ll + log2(dilate), so merges use stride
+    t = dilate * 2^ll and galois g = N/(dilate*2^ll) + 1.  dilate=1,
+    prescale=True reproduces pack()'s math.
+
+    Used by the row-sharded pack (parallel/mesh.py): shard k holds the
+    global leaves congruent to k mod n_shards, runs pack_tree(dilate=
+    n_shards), then the gathered per-shard roots finish with
+    pack_tree(dilate=1, prescale=False) over the remaining log2(n_shards)
+    global levels.  prescale=True scales by the FULL global leaf count
+    (M * dilate) so the cross-shard tail merges stay division-free."""
+    M = cts.shape[0]
+    n = params.n
+    assert M & (M - 1) == 0, "pad input count to a power of two"
+    assert dilate & (dilate - 1) == 0
+    levels = M.bit_length() - 1
+    log_d = dilate.bit_length() - 1
+    assert levels + log_d <= params.log_n
+    if prescale:
+        shift = levels + log_d
+        while shift > 0:
+            s = min(shift, params.base2k - 1)
+            cts = limb_ops.shift_right(cts, s)
+            shift -= s
+        cts = limb_ops.normalize(cts)
+    for ll in range(levels - 1, -1, -1):
+        l = ll + log_d
+        cts = _merge_level_chunked(params, ctx, cts[: 1 << ll],
+                                   cts[1 << ll : 2 << ll], 1 << l,
+                                   (n >> l) + 1, auto_keys_ntt[(n >> l) + 1],
+                                   trunc=trunc)
+    return cts[0]
+
+
+def _merge_level_chunked(params: Params, ctx: NTTContext, A, B, t: int,
+                         g: int, key_ntt, trunc: tuple = (None, None)):
+    """_merge_level with the composed path's transients bounded: at huge
+    batches the COMPOSED (non-fused) keyswitch would blow HBM on its
+    staging tensors, so slice into sequential lax.map chunks; the fused
+    merge kernel only streams its in/out blocks and takes any batch."""
+    from ..ops.ntt_pallas import fused_path_active
+
+    nb = int(np.prod(A.shape[:-3]))
+    if nb <= _KS_CHUNK or fused_path_active(params.n):
+        return _merge_level(params, ctx, A, B, t, g, key_ntt, trunc=trunc)
+    step = max(1, _KS_CHUNK // max(1, nb // A.shape[0]))
+    step = 1 << (step.bit_length() - 1)  # A.shape[0] is a power of 2
+    step = min(step, A.shape[0])
+    sliced_a = A.reshape(A.shape[0] // step, step, *A.shape[1:])
+    sliced_b = B.reshape(sliced_a.shape)
+    out = jax.lax.map(
+        lambda s: _merge_level(params, ctx, s[0], s[1], t, g, key_ntt,
+                               trunc=trunc),
+        (sliced_a, sliced_b))
+    return out.reshape(A.shape)
+
+
 def pack(params: Params, ctx: NTTContext, cts, auto_keys_ntt: dict,
          trunc: tuple = (None, None)):
     """Pack cts[M, ..., C, L, N] (slot-0 values v_m) into one ct whose
@@ -150,6 +235,8 @@ def pack(params: Params, ctx: NTTContext, cts, auto_keys_ntt: dict,
     if ntt_mod.get_backend() == "pallas" and n == 4096:
         from ..ops import ntt_pallas
 
+        if ntt_pallas._USE_MXU and _USE_TREE and trunc != (None, None):
+            _warn_tree_trunc_fallback()
         if (ntt_pallas._USE_MXU and _USE_TREE
                 and trunc == (None, None)):  # tree kernel: full gadget only
             # per-level merges until <= _TREE_MAX leaves remain (2^24's
@@ -164,28 +251,6 @@ def pack(params: Params, ctx: NTTContext, cts, auto_keys_ntt: dict,
     for l in range(levels - 1, -1, -1):
         t = 1 << l
         g = (n >> l) + 1
-        A = cts[:t]
-        B = cts[t : 2 * t]
-        # merge in bounded slices: at huge geometries (2^24: first merge
-        # level has 2048x4 pairs) the COMPOSED path's transient staging
-        # tensors would blow HBM; the fused merge kernel only streams
-        # its in/out blocks, so it takes any batch directly
-        from ..ops.ntt_pallas import fused_path_active
-
-        nb = int(np.prod(A.shape[:-3]))
-        if nb <= _KS_CHUNK or fused_path_active(params.n):
-            cts = _merge_level(params, ctx, A, B, t, g, auto_keys_ntt[g],
-                               trunc=trunc)
-        else:
-            # sequential lax.map slices (see ram._chunked_product note)
-            step = max(1, _KS_CHUNK // max(1, nb // A.shape[0]))
-            step = 1 << (step.bit_length() - 1)  # A.shape[0] is a power of 2
-            step = min(step, A.shape[0])
-            sliced_a = A.reshape(A.shape[0] // step, step, *A.shape[1:])
-            sliced_b = B.reshape(sliced_a.shape)
-            cts = jax.lax.map(
-                lambda s: _merge_level(params, ctx, s[0], s[1], t, g,
-                                       auto_keys_ntt[g], trunc=trunc),
-                (sliced_a, sliced_b))
-            cts = cts.reshape(A.shape)
+        cts = _merge_level_chunked(params, ctx, cts[:t], cts[t : 2 * t],
+                                   t, g, auto_keys_ntt[g], trunc=trunc)
     return cts[0]

@@ -52,6 +52,14 @@ _R = 64
 # FHERAM_MXU=0 falls back to the VPU roll/select stage pipeline
 _USE_MXU = os.environ.get("FHERAM_MXU", "1") == "1"
 
+# Global interpret-mode override (FHERAM_PALLAS_INTERPRET=1, or set the
+# module flag from test code): every kernel in this module runs through
+# the Pallas interpreter, so the WHOLE pallas backend -- including the
+# fused read pipeline under shard_map partitioning -- executes on CPU
+# test meshes (tests/test_mesh_pallas.py).  Per-call interpret=True
+# arguments keep working independently.
+_INTERPRET = os.environ.get("FHERAM_PALLAS_INTERPRET") == "1"
+
 
 def fused_path_active(n: int) -> bool:
     """True when the fused MXU Pallas kernels serve this ring size --
@@ -483,7 +491,7 @@ def ntt_fwd_pallas(ctx: NTTPallasContext, x, interpret: bool = False):
         in_specs=specs,
         out_specs=pl.BlockSpec((1, _TB, TR, TC), lambda p, b: (p, b, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((P, Bp, TR, TC), I32),
-        interpret=interpret,
+        interpret=interpret or _INTERPRET,
     )(ctx.p_arr, ctx.ip_arr, x, *tables)
     return out[:, :B].reshape((P,) + lead + (n,))
 
@@ -528,7 +536,7 @@ def ntt_inv_pallas(ctx: NTTPallasContext, x, interpret: bool = False):
         in_specs=specs,
         out_specs=pl.BlockSpec((1, _TB, TR, TC), lambda p, b: (p, b, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((P, Bp, TR, TC), I32),
-        interpret=interpret,
+        interpret=interpret or _INTERPRET,
     )(ctx.p_arr, ctx.ip_arr, x, *tables)
     return out[:, :B].reshape((P,) + lead + (n,))
 
@@ -646,7 +654,7 @@ def fused_external_pallas(ctx: NTTPallasContext, x, keys_ntt,
         out_specs=pl.BlockSpec((1, _TBR, M, TR, TC),
                                lambda p, b: (p, b, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((P, Bp, M, TR, TC), I32),
-        interpret=interpret,
+        interpret=interpret or _INTERPRET,
     )(ctx.p_arr, ctx.ip_arr, x, k4, *tables)
     return out[:, :B].reshape(P, B, M, n)
 
@@ -1247,7 +1255,7 @@ def fused_external_fold_pallas(ctx: NTTPallasContext, x, keys_ntt,
                                lambda b, d: (b, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((Bp, c2 * out_limbs, TR, TC), I32),
         scratch_shapes=scratch,
-        interpret=interpret,
+        interpret=interpret or _INTERPRET,
     )(*inputs)
     return out[:B].reshape(B, c2, out_limbs, n)
 
@@ -1353,7 +1361,7 @@ def fused_external_fold_batched(ctx: NTTPallasContext, x, keys_ntt,
                                lambda a, b, d: (a, b, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((A, Bp, Mo, TR, TC), I32),
         scratch_shapes=scratch,
-        interpret=interpret,
+        interpret=interpret or _INTERPRET,
     )(x, k7, *extra_inputs, *tables)
     return out[:, :B].reshape(A, B, c2, out_limbs, n)
 
@@ -1516,7 +1524,7 @@ def fused_trace_pallas(ctx: NTTPallasContext, ct, keys_stacked, gal_els,
                                lambda b, s: (b, 0, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((Bp, C2, L, _SL, _LN), I32),
         scratch_shapes=[pltpu.VMEM((_TBT, C2, L, _SL, _LN), I32)],
-        interpret=interpret,
+        interpret=interpret or _INTERPRET,
     )(x, k6, *ptabs, cdig, rdig, ew)
     return out[:B].reshape(B, C2, L, n)
 
@@ -1620,7 +1628,7 @@ def fused_pack_merge_pallas(ctx: NTTPallasContext, A, B, t_rot: int,
         in_specs=in_specs,
         out_specs=ct_spec,
         out_shape=jax.ShapeDtypeStruct((Bp, C2, L, _SL, _LN), I32),
-        interpret=interpret,
+        interpret=interpret or _INTERPRET,
     )(a, b, k5, *ptabs, cdig, rdig, ew)
     return out[:nb].reshape(nb, C2, L, n)
 
@@ -1739,7 +1747,7 @@ def fused_pack_tree_pallas(ctx: NTTPallasContext, cts, keys_stacked,
                                lambda w, s: (w, 0, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((nb, C2, L, _SL, _LN), I32),
         scratch_shapes=[pltpu.VMEM((max(M // 2, 1), C2, L, _SL, _LN), I32)],
-        interpret=interpret,
+        interpret=interpret or _INTERPRET,
     )(x, k6, *ptabs, cdig, rdig, ew)
     return out.reshape(nb, C2, L, n)
 
@@ -2001,7 +2009,7 @@ def fused_bitwise_pallas(ctx: NTTPallasContext, leaves_hi, leaves_lo,
                                lambda j, s: (j, 0, 0, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((W, G, C2, L, _SL, _LN), I32),
         scratch_shapes=[pltpu.VMEM((G, 2, C2, L, _SL, _LN), I32)],
-        interpret=interpret,
+        interpret=interpret or _INTERPRET,
     )(hi, lo, k7, cdig, rdig, ew)
     return out.reshape(W, G, C2, L, n)
 
@@ -2102,7 +2110,7 @@ def fused_blind_rotate_pallas(ctx: NTTPallasContext, rows, keys_stacked,
                                lambda b, s: (b, 0, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((Bp, C2, Lc, _SL, _LN), I32),
         scratch_shapes=[pltpu.VMEM((TBT, C2, Lc, _SL, _LN), I32)],
-        interpret=interpret,
+        interpret=interpret or _INTERPRET,
     )(x, k6, *ptabs, cdig, rdig, ew)
     return out[:B].reshape(B, C2, Lc, n)
 
@@ -2156,6 +2164,6 @@ def fused_dp_chain_pallas(ctx: NTTPallasContext, F0, keys_stacked, deltas,
             pltpu.VMEM((G, 2, C2, L, _SL, _LN), I32),
             pltpu.VMEM((G, 4, C2, L, _SL, _LN), I32),
         ],
-        interpret=interpret,
+        interpret=interpret or _INTERPRET,
     )(f0, k7, dd, cdig, rdig, ew)
     return out.reshape(G, 2, C2, L, n)

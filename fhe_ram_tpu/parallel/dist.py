@@ -84,7 +84,16 @@ def replicated_global(mesh: Mesh, leaves):
 
 def shard_rows_global(mesh: Mesh, data):
     """RAM data with rows sharded over the (intra-host) 'rows' axis and
-    replicated over dp: int32[W, R, C, L, N] -> P(None, 'rows')."""
+    replicated over dp: int32[W, R, C, L, N] -> P(None, 'rows').
+
+    Rows are STRIDED over shards (mesh.row_shard_perm) so the sharded
+    pack's local dilated trees see the global leaves congruent to their
+    shard index (see parallel/mesh.py module docstring)."""
+    from .mesh import row_shard_perm
+
+    r = mesh.shape["rows"]
+    if r > 1:
+        data = np.asarray(data)[:, row_shard_perm(data.shape[1], r)]
     sh = NamedSharding(mesh, P(None, "rows"))
     return jax.make_array_from_callback(
         data.shape, sh, lambda idx: np.asarray(data[idx]))

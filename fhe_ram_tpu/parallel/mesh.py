@@ -1,5 +1,5 @@
-"""Multi-chip execution: device meshes + sharded batched reads and
-row-sharded RAM.
+"""Multi-chip execution: device meshes + the FUSED read pipeline under
+shard_map (row-sharded RAM, dp-sharded address batches).
 
 The reference is strictly single-threaded (SURVEY.md §2: no rayon/MPI/
 NCCL); scaling is new, TPU-first functionality:
@@ -7,14 +7,29 @@ NCCL); scaling is new, TPU-first functionality:
   * axis "dp": independent encrypted reads (the batch of addresses) --
     embarrassingly parallel, addresses sharded, RAM + keys replicated.
   * axis "rows": the RAM's GLWE-row axis (the long axis for MAX_ADDR
-    up to 2^24+, SURVEY.md §5 long-context analog) -- CMux external
-    products are row-local; the packing tree's first merges cross row
-    shards and XLA inserts the collectives (all ICI traffic).
+    up to 2^24+, SURVEY.md §5 long-context analog).  CMux external
+    products are row-local; the packing tree crosses shards.
 
-Shardings are expressed with jax.sharding.NamedSharding on jit
-boundaries (GSPMD partitioning) rather than hand-written collectives;
-a Pallas ring-reduce variant can replace the pack-merge collectives
-later (SNIPPETS.md §1 pattern).
+Everything runs the PRODUCTION kernels per shard via jax.shard_map
+(each device executes the fused Pallas pipeline on its local block;
+round-3 review: the earlier GSPMD vmap(read_impl) formulation scaled
+the slow composed path).  The one cross-shard exchange is explicit:
+
+  Row sharding is STRIDED -- shard k holds the global RAM rows
+  congruent to k (mod n_shards) (`row_shard_perm` permutes the row axis
+  at placement so XLA's contiguous shards hold those rows).  The
+  log-depth pack tree (core/packer.py) merges leaves at stride 2^l on
+  level l, largest stride first, so with strided sharding the first
+  log2(R/n_shards) merge levels pair leaves WITHIN a shard: each shard
+  runs them locally with the dilated tree (packer.pack_tree(dilate=
+  n_shards)), then ONE all_gather of the n_shards per-shard roots (a
+  single GLWE each) rides ICI and the remaining log2(n_shards) merges
+  run replicated.  Contiguous sharding would make EVERY merge level a
+  cross-shard exchange.
+
+The downstream levels (upper-coordinate CMux + final trace) operate on
+a single packed row -- replicated work over the rows axis, negligible
+next to level 0.
 """
 
 from __future__ import annotations
@@ -23,11 +38,16 @@ from functools import partial
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..params import Params
 from ..ops.ntt import get_ntt_context
+from ..core import packer, keyswitch
 from ..ram import ram as ram_mod
+from ..ram import address as address_mod
+
+I32 = jnp.int32
 
 
 def make_mesh(n_devices: int | None = None, rows: int = 1, devices=None) -> Mesh:
@@ -43,15 +63,31 @@ def replicated(mesh: Mesh):
     return NamedSharding(mesh, P())
 
 
+# --------------------------------------------------------------------------
+# placement
+# --------------------------------------------------------------------------
+
+def row_shard_perm(num_rows: int, n_shards: int) -> np.ndarray:
+    """Row permutation realizing the strided shard layout: permuted
+    position k*R_loc + j holds global row j*n_shards + k, so contiguous
+    device shards hold the rows congruent to k (mod n_shards)."""
+    assert num_rows % n_shards == 0
+    return np.arange(num_rows).reshape(num_rows // n_shards, n_shards).T.reshape(-1)
+
+
 def shard_data_rows(mesh: Mesh, data):
-    """Place RAM data with the row axis sharded over the 'rows' mesh
-    axis: int32[W, R, C, L, N] -> R sharded."""
+    """Place RAM data [W, R, C, L, N] with the row axis STRIDED over the
+    'rows' mesh axis (see module docstring / row_shard_perm)."""
+    r = mesh.shape["rows"]
+    R = data.shape[1]
+    if r > 1:
+        data = jnp.take(data, jnp.asarray(row_shard_perm(R, r)), axis=1)
     return jax.device_put(data, NamedSharding(mesh, P(None, "rows")))
 
 
 def shard_addr_batch(mesh: Mesh, coords_stacked):
-    """Shard a stacked address batch (tuple of [B, dig, ...] arrays...)
-    over the 'dp' axis."""
+    """Shard a stacked address batch (tuple of [B, ...] arrays) over the
+    'dp' axis."""
     sh = NamedSharding(mesh, P("dp"))
     return tuple(jax.device_put(c, sh) for c in coords_stacked)
 
@@ -59,40 +95,170 @@ def shard_addr_batch(mesh: Mesh, coords_stacked):
 def stack_addresses(addr_preps) -> tuple:
     """Stack prepared addresses into a batch: tuple over coordinates of
     [B, P, dig, D, C, C2, Lg, N]."""
-    import jax.numpy as jnp
-
     n2 = len(addr_preps[0].coordinates)
     return tuple(
         jnp.stack([a.coordinates[i] for a in addr_preps], axis=0) for i in range(n2)
     )
 
 
-def batched_read_fn(params: Params, mesh: Mesh):
-    """Jitted batched read: addresses sharded over dp, RAM rows sharded
-    over rows, output sharded over dp."""
+# --------------------------------------------------------------------------
+# sharded pack: local dilated tree + one all_gather + replicated tail
+# --------------------------------------------------------------------------
+
+def _pack_rows_sharded(params: Params, ctx, cur, atk, axis_name: str,
+                       n_shards: int, trunc: tuple = (None, None)):
+    """Sharded counterpart of ram._pack_rows for R_global <= N (one
+    chunk): cur [W, R_loc, C, L, N] per shard (strided global rows) ->
+    [W, 1, C, L, N], identical (and replicated) on every rows shard."""
+    W, R_loc = cur.shape[0], cur.shape[1]
+    M = 1 << (R_loc - 1).bit_length() if R_loc > 1 else 1
+    if M != R_loc:
+        pad = jnp.zeros((W, M - R_loc) + cur.shape[2:], dtype=cur.dtype)
+        cur = jnp.concatenate([cur, pad], axis=1)
+    cts = jnp.moveaxis(cur, 1, 0)  # [M, W, C, L, N]
+    root = packer.pack_tree(params, ctx, cts, atk, dilate=n_shards,
+                            prescale=True, trunc=trunc)  # [W, C, L, N]
+    if n_shards > 1:
+        # pack-root exchange: XLA all_gather, or the Pallas ring
+        # (FHERAM_RING_AG=1; parallel/collective.py)
+        from . import collective
+
+        nodes = collective.all_gather(root, axis_name, n_shards)
+        root = packer.pack_tree(params, ctx, nodes, atk, dilate=1,
+                                prescale=False, trunc=trunc)
+    return root[:, None]  # [W, 1, C, L, N]
+
+
+# --------------------------------------------------------------------------
+# shard_map bodies: the production fused pipeline on local blocks
+# --------------------------------------------------------------------------
+
+def _check_shardable(params: Params):
+    assert params.num_rows <= params.n, (
+        "row-sharded read supports one pack chunk (num_rows <= N); "
+        "2^24 at N=4096 is exactly the boundary")
+    assert params.n2 == 2, "sharded read expects the 2-level geometry"
+
+
+def _sharded_read_body(params: Params, ctx, n_shards: int, data, coords, atk):
+    """Single read on row-sharded RAM: per-shard fused level-0 products
+    over the local rows, sharded pack, replicated tail."""
+    ept, kst = params.read_ep_trunc, params.read_ks_trunc
+    cur = ram_mod._chunked_product(params, ctx, data, coords[0], trunc=ept)
+    cur = _pack_rows_sharded(params, ctx, cur, atk, "rows", n_shards,
+                             trunc=kst)
+    cur = address_mod.coordinate_product(params, ctx, cur[:, 0], coords[1],
+                                         trunc=ept)
+    return keyswitch.trace(params, ctx, cur, atk, trunc=kst)
+
+
+def _sharded_batch_slice(params: Params, ctx, n_shards: int, data, coords_b,
+                         atk, data_ntt=None):
+    """One HBM-sized slice of the sharded batched read: the fused
+    batch-gridded kernels (ram._read_batch_slice structure) with the
+    pack replaced by the sharded pack."""
+    from ..ops.ntt_pallas import fused_path_active
+
+    ept, kst = params.read_ep_trunc, params.read_ks_trunc
+    B = coords_b[0].shape[0]
+    W = data.shape[0]
+    # [B, W, R_loc, C, L, N]: shared spectral level-0 per shard
+    if fused_path_active(params.n):
+        cur = address_mod.coordinate_product_batched(params, ctx, data,
+                                                     coords_b[0], data_ntt,
+                                                     trunc=ept)
+    else:
+        # composed fallback: bound the per-address transients with the
+        # row-sliced product (ram._chunked_product), like read_impl does
+        cur = jax.lax.map(
+            lambda c: ram_mod._chunked_product(params, ctx, data, c,
+                                               trunc=ept), coords_b[0])
+    flat = cur.reshape((B * W,) + cur.shape[2:])
+    flat = _pack_rows_sharded(params, ctx, flat, atk, "rows", n_shards,
+                              trunc=kst)
+    cur = flat.reshape((B, W) + flat.shape[1:])[:, :, 0]  # [B, W, C, L, N]
+    cur = address_mod.coordinate_product_perbatch(params, ctx, cur,
+                                                  coords_b[1], trunc=ept)
+    out = keyswitch.trace(params, ctx,
+                          cur.reshape((B * W,) + cur.shape[2:]), atk,
+                          trunc=kst)
+    return out.reshape((B, W) + out.shape[1:])
+
+
+def _sharded_batch_body(params: Params, ctx, n_shards: int, data, coords_b,
+                        atk, data_ntt=None):
+    """Local batched read: B_loc addresses against the local row shard,
+    sliced like ram.read_batch_impl when B_loc exceeds the HBM chunk."""
+    B = coords_b[0].shape[0]
+    k = ram_mod._BATCH_CHUNK
+    if B > k and B % k == 0:
+        sl = tuple(c.reshape((B // k, k) + c.shape[1:]) for c in coords_b)
+        outs = jax.lax.map(
+            lambda cs: _sharded_batch_slice(params, ctx, n_shards, data, cs,
+                                            atk, data_ntt), sl)
+        return outs.reshape((B,) + outs.shape[2:])
+    return _sharded_batch_slice(params, ctx, n_shards, data, coords_b, atk,
+                                data_ntt)
+
+
+# --------------------------------------------------------------------------
+# public jitted entry points
+# --------------------------------------------------------------------------
+
+def batched_read_fn(params: Params, mesh: Mesh, with_cache: bool = False):
+    """Jitted sharded batched read running the FUSED kernels per shard:
+    addresses sharded over dp, RAM rows (strided) over rows, output
+    sharded over dp.
+
+    Call as fn(data, coords_b, atk) -- or fn(data, coords_b, atk, cache)
+    when with_cache (cache from sharded_spectral_cache_fn on the SAME
+    placed data).  data must be placed by shard_data_rows (strided row
+    permutation)."""
     ctx = get_ntt_context(params.n, params.primes)
-    fn = jax.vmap(partial(ram_mod.read_impl, params, ctx), in_axes=(None, 0, None))
-    return jax.jit(
-        fn,
-        in_shardings=(
-            NamedSharding(mesh, P(None, "rows")),
-            NamedSharding(mesh, P("dp")),
-            NamedSharding(mesh, P()),
-        ),
-        out_shardings=NamedSharding(mesh, P("dp")),
-    )
+    _check_shardable(params)
+    r = mesh.shape["rows"]
+
+    if with_cache:
+        body = lambda d, cb, atk, dn: _sharded_batch_body(
+            params, ctx, r, d, cb, atk, dn)
+        in_specs = (P(None, "rows"), P("dp"), P(), P(None, "rows"))
+    else:
+        body = lambda d, cb, atk: _sharded_batch_body(
+            params, ctx, r, d, cb, atk, None)
+        in_specs = (P(None, "rows"), P("dp"), P())
+    fn = jax.shard_map(body, mesh=mesh, in_specs=in_specs,
+                       out_specs=P("dp"), check_vma=False)
+    return jax.jit(fn)
 
 
 def sharded_read_fn(params: Params, mesh: Mesh):
     """Jitted single read over row-sharded RAM (the 2^24-scale config:
-    rows over chips, pack-tree partials reduced by XLA collectives)."""
+    strided rows over chips, fused kernels per shard, one all_gather of
+    per-shard pack roots).  The dp axis (if > 1) computes replicas."""
     ctx = get_ntt_context(params.n, params.primes)
-    return jax.jit(
-        partial(ram_mod.read_impl, params, ctx),
-        in_shardings=(
-            NamedSharding(mesh, P(None, "rows")),
-            NamedSharding(mesh, P()),
-            NamedSharding(mesh, P()),
-        ),
-        out_shardings=NamedSharding(mesh, P()),
+    _check_shardable(params)
+    r = mesh.shape["rows"]
+    fn = jax.shard_map(
+        lambda d, c, atk: _sharded_read_body(params, ctx, r, d, c, atk),
+        mesh=mesh,
+        in_specs=(P(None, "rows"), P(), P()),
+        out_specs=P(),
+        check_vma=False,
     )
+    return jax.jit(fn)
+
+
+def sharded_spectral_cache_fn(params: Params, mesh: Mesh):
+    """Jitted per-shard spectral cache (address-independent fwd NTT of
+    the local rows' gadget digits) on data placed by shard_data_rows.
+    Output sharded [P, W*R, T, N] with the flat W*R axis matching each
+    shard's local data block."""
+    ctx = get_ntt_context(params.n, params.primes)
+    fn = jax.shard_map(
+        lambda d: address_mod.spectral_cache(params, ctx, d),
+        mesh=mesh,
+        in_specs=(P(None, "rows"),),
+        out_specs=P(None, "rows"),
+        check_vma=False,
+    )
+    return jax.jit(fn)

@@ -51,24 +51,42 @@ def main():
         for g in par.trace_gal_els
     }
 
+    def check(name, lowered, limit_gib=12):
+        print(f"[{name}] lowered ok (partitioning valid)", flush=True)
+        compiled = lowered.compile()
+        ma = compiled.memory_analysis()
+        gib = 2.0 ** 30
+        print(f"[{name}] compiled ok; XLA memory analysis (per device):",
+              flush=True)
+        print(f"  arguments: {ma.argument_size_in_bytes / gib:.2f} GiB")
+        print(f"  output:    {ma.output_size_in_bytes / gib:.3f} GiB")
+        print(f"  temps:     {ma.temp_size_in_bytes / gib:.2f} GiB")
+        total = (ma.argument_size_in_bytes + ma.output_size_in_bytes
+                 + ma.temp_size_in_bytes)
+        print(f"  total:     {total / gib:.2f} GiB", flush=True)
+        # v5e HBM = 16 GiB; require comfortable fit
+        assert total < limit_gib * gib, f"2^24 {name} would not fit a v5e chip"
+        print(f"DRYRUN 2^24 {name}: OK", flush=True)
+
     fn = mesh_mod.sharded_read_fn(par, m)
     print(f"rows={par.num_rows} tree={par.tree_shape()} "
           f"data={np.prod(data.shape)*4/2**30:.2f} GiB total", flush=True)
-    lowered = fn.lower(data, coords, atk)
-    print("lowered ok (partitioning valid)", flush=True)
-    compiled = lowered.compile()
-    ma = compiled.memory_analysis()
-    gib = 2.0 ** 30
-    print("compiled ok; XLA memory analysis (per device):", flush=True)
-    print(f"  arguments: {ma.argument_size_in_bytes / gib:.2f} GiB")
-    print(f"  output:    {ma.output_size_in_bytes / gib:.3f} GiB")
-    print(f"  temps:     {ma.temp_size_in_bytes / gib:.2f} GiB")
-    total = (ma.argument_size_in_bytes + ma.output_size_in_bytes
-             + ma.temp_size_in_bytes)
-    print(f"  total:     {total / gib:.2f} GiB", flush=True)
-    # v5e HBM = 16 GiB; require comfortable fit
-    assert total < 12 * gib, "2^24 sharded read would not fit a v5e chip"
-    print("DRYRUN 2^24 SHARDED: OK", flush=True)
+    check("SHARDED READ (rows=8)", fn.lower(data, coords, atk))
+
+    # batched sharded read (B=8) on a dp=2 x rows=4 mesh: exercises both
+    # axes + the batch-gridded kernels' memory at real 2^24 geometry.
+    # NOTE: this AOT compile uses the CPU butterfly COMPOSED path whose
+    # transients over-state the fused-kernel path that runs on real
+    # chips (the fused kernels stream blocks; the single-read check
+    # above passes at 1.7 GiB because _chunked_product slices) -- the
+    # bound here is a loose upper bound on the real-device footprint.
+    m2 = mesh_mod.make_mesh(8, rows=4)
+    B = 8
+    coords_b = tuple(
+        jax.ShapeDtypeStruct((B,) + c.shape, I32) for c in coords)
+    fnb = mesh_mod.batched_read_fn(par, m2)
+    check("BATCHED B=8 (dp=2 x rows=4)", fnb.lower(data, coords_b, atk),
+          limit_gib=14)
 
 
 if __name__ == "__main__":
