@@ -246,10 +246,12 @@ def extract_slots(params: Params, ctx: NTTContext, ct, count: int,
     (g_l * 2^j = 2^j mod 2N), trace(X^-m ct) = prod_l (1 + sigma_{g_l})
     X^{-m_l 2^l} (ct/N), so level l of the tree branches on bit l of m
     and the remaining log_n - log2(count) steps run once per leaf.
-    Keyswitch count ~ 2*count + count*(log_n - log2(count)) vs the
-    rotate-stack's count*log_n (1.5x less at count=64, log_n=12); the
-    reference instead walks slots sequentially with per-slot double
-    traces (src/ram.rs:612-630).
+    Each split level keyswitches only its PARENT nodes (both children
+    derive from the one sigma_KS output -- see the loop comment), so
+    the split cost is ~count keyswitches total; with the tail, ~count +
+    count*(log_n - log2(count)) vs the rotate-stack's count*log_n (3x
+    less at count=64, log_n=12); the reference instead walks slots
+    sequentially with per-slot double traces (src/ram.rs:612-630).
 
     bounded_support=True: the caller GUARANTEES ct's plaintext is
     exactly zero outside slots [0, count) (the write path's deltas:
@@ -282,9 +284,23 @@ def extract_slots(params: Params, ctx: NTTContext, ct, count: int,
     nodes = limb_ops.normalize(x)[..., None, :, :, :]
     gals = params.trace_gal_els
     for l in range(s):
-        rot = poly.rotate(nodes, -(1 << l))
-        both = jnp.concatenate([nodes, rot], axis=-4)
-        nodes = trace_steps(params, ctx, both, auto_keys_ntt, (gals[l],))
+        # ONE keyswitch feeds BOTH children (round-4 halving): with
+        # A = sigma_KS(x) (the homomorphic sigma_g under the trace key),
+        #   child0 = x + A                     (the 1 + sigma_g branch)
+        #   child1 = X^-t x + sigma_KS(X^-t x) = X^-t (x - A)
+        # because sigma_g(X^-t) = -X^-t for t = 2^l, g = N/2^l + 1, and
+        # the keyswitch commutes exactly with monomial rotations (digit
+        # decomposition is coefficient-wise; convolution commutes).
+        # Same plaintexts; child1's KS noise is a rotation of child0's
+        # (same magnitude, per-slot variance unchanged -- the model in
+        # core/noise.py is untouched).  Previously both halves were
+        # keyswitched: 2x the kernel work of this form.
+        g = gals[l]
+        A = automorphism_ks(params, ctx, nodes, g, auto_keys_ntt[g],
+                            out_limbs=nodes.shape[-2])
+        child0 = limb_ops.normalize(nodes + A)
+        child1 = limb_ops.normalize(poly.rotate(nodes - A, -(1 << l)))
+        nodes = jnp.concatenate([child0, child1], axis=-4)
     out = trace_steps(params, ctx, nodes, auto_keys_ntt,
                       gals[s : s + tail])
     return out[..., :count, :, :, :]
