@@ -34,6 +34,37 @@ _D9 = 9           # digit width for the constant splits
 _NDIG = 8         # base-2^9 digits covering |x| < 2^63
 
 
+def accumulation_bound_log2(t_rows: int, n: int, base2k: int = 17) -> float:
+    """log2 of the worst-case true-integer magnitude of one folded
+    convolution accumulation: t_rows digit-row negacyclic convolutions,
+    each summing n products of balanced base-2^base2k operands
+    (|digit|, |key limb| <= 2^(base2k-1)).
+
+    Why a 2-prime basis is OUT (round-4 feasibility analysis, see
+    BENCH_NOTES.md "2-prime CRT"): exact reconstruction needs
+    prod(primes) > 2 * bound.  With the Barrett-exactness prime cap
+    (~2^19.6, ops/modular.py), two primes give capacity ~2^37.9 while
+    the bound is 2^47 at the full gadget (t_rows = 8) and 2^45 even at
+    the theoretical minimum t_rows = 2 -- and the CENTRAL-LIMIT 6-sigma
+    magnitude (~2^38.6, unsound for cryptographic correctness anyway)
+    still exceeds the capacity.  Closing the gap via a smaller limb
+    base (2^13-ish) raises limb/digit counts ~35-100% across every
+    transform and VMP -- strictly more work than the 1/3 saved by
+    dropping a prime; 24-bit primes break int32/f32 Barrett exactness
+    and would force double-word arithmetic into every pointwise op."""
+    import math
+
+    return math.log2(t_rows) + math.log2(n) + 2.0 * (base2k - 1)
+
+
+def basis_capacity_log2(primes) -> float:
+    """log2 of the largest integer magnitude a CRT basis reconstructs
+    exactly from balanced residues: prod(primes)/2."""
+    import math
+
+    return math.log2(float(np.prod([float(p) for p in primes]))) - 1.0
+
+
 @lru_cache(maxsize=8)
 def garner_consts(primes: tuple[int, ...]):
     """Precomputed Garner constants for a 3-prime basis."""

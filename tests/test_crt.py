@@ -62,3 +62,24 @@ def test_crt_fold_to_limbs():
             d -= mod
         # dropped sub-limb digits contribute < 2^(scale - 17*Lout + 10)
         assert abs(d) < 1 << (scale - 17 * Lout + 10), (i, d)
+
+
+def test_accumulation_bound_covered_by_3_primes_not_by_2():
+    """The CRT-basis feasibility arithmetic behind BENCH_NOTES.md
+    "2-prime CRT: priced out": the 3-prime basis covers the worst-case
+    external-product accumulation; ANY 2-prime sub-basis (and any pair
+    of primes under the Barrett cap 2^19.6) does not -- even at the
+    READOPT-truncated row count or the theoretical minimum T=2."""
+    from fhe_ram_tpu.ops.crt import accumulation_bound_log2, basis_capacity_log2
+
+    n = 4096
+    cap3 = basis_capacity_log2(DEFAULT_PRIMES)
+    assert accumulation_bound_log2(8, n) < cap3      # full gadget: 2^47
+    assert accumulation_bound_log2(4, n) < cap3      # READOPT reads
+    for drop in range(3):
+        pair = tuple(p for i, p in enumerate(DEFAULT_PRIMES) if i != drop)
+        cap2 = basis_capacity_log2(pair)
+        assert accumulation_bound_log2(2, n) > cap2  # even T=2 overflows
+    # the hard cap: two maximal Barrett-exact primes still fall short
+    cap2_max = basis_capacity_log2((793559, 793561))  # ~2^19.6 each
+    assert accumulation_bound_log2(2, n) > cap2_max + 6  # >64x short
