@@ -181,3 +181,69 @@ def test_refresh_budget_production():
     from fhe_ram_tpu.params import PARAMS_2_14_READOPT as _r14
     assert noise.read_noise_log2(_r14) < -(_r14.k_pt + 1) - 6
     assert noise.refresh_budget(_r14) >= 40_000_000
+
+
+def test_write_cycle_variance_slope_empirical():
+    """Empirical validation of the refresh-budget slope (round-4 review
+    item): run many RMW cycles on one address and check the measured
+    per-cycle noise-VARIANCE growth of the base-level data rows against
+    the analytic per-cycle term noise.write_cycle_added_var -- the
+    load-bearing quantity behind the 1.3e8-cycle budget and the
+    READOPT/TURBO preset pricing.
+
+    The write path touches every base row each cycle (rpw rotation +
+    delta add within the written chunk + final inverse-coordinate
+    product), so all W*R*N coefficients sample the modeled
+    distribution."""
+    src, sk, s_ntt, ekp = setup(seed=17)
+    rnd = np.random.default_rng(33)
+    data = rnd.integers(0, 256, size=PAR.max_addr * PAR.word_size).astype(
+        np.uint8)
+    ram_ct = ram_mod.encrypt_ram(PAR, CTX, s_ntt, data, src)
+    server = ram_mod.FheRam(PAR, ekp)
+    state = server.init_state(ram_ct)
+
+    a = 37  # fixed address: row a // n, slot a % n
+    addr = address_mod.encrypt(PAR, CTX, s_ntt, a, src)
+    ap = address_mod.prepare(CTX, addr)
+
+    # expected base-level plaintext per (subram, row, slot)
+    W, R, n = PAR.word_size, PAR.num_rows, PAR.n
+    words = data.reshape(PAR.max_addr, W).astype(np.int8).astype(np.int64)
+    padded = np.zeros((R * n, W), dtype=np.int64)
+    padded[: PAR.max_addr] = words
+    expect = padded.T.reshape(W, R, n).copy()
+
+    def row_err_var(state):
+        ph = glwe.phase(PAR, CTX, s_ntt,
+                        state.data.reshape(W * R, PAR.rank + 1,
+                                           PAR.limbs_ct, n))
+        t = limb_ops.torus_float(np.asarray(ph)).reshape(W, R, n)
+        frac = t - expect * 2.0 ** (-PAR.k_pt)
+        frac -= np.rint(frac)
+        return float(np.mean(frac ** 2))
+
+    cycles = 40
+    vars_t = [row_err_var(state)]
+    for t in range(cycles):
+        _, state = server.read_prepare_write(state, ap)
+        w_bytes = rnd.integers(0, 256, size=W).astype(np.uint8)
+        w_ct = ram_mod.encrypt_write_word(PAR, CTX, s_ntt, w_bytes, src)
+        state = server.write(state, w_ct, addr)
+        expect[:, a // n, a % n] = w_bytes.astype(np.int8)
+        vars_t.append(row_err_var(state))
+
+    # linear fit var(t) = var0 + slope * t
+    ts = np.arange(cycles + 1, dtype=np.float64)
+    slope = float(np.polyfit(ts, np.asarray(vars_t), 1)[0])
+    var_model, _det = noise.write_cycle_added_var(PAR)
+
+    # decode sanity: the data is still perfectly readable at the end
+    assert vars_t[-1] < (2.0 ** (-(PAR.k_pt + 1))) ** 2 / 36.0
+
+    # the analytic per-cycle variance must BOUND the measurement and
+    # stay within ~2x of it (model tracks reality, isn't vacuous)
+    assert 0 < slope <= 2.0 * var_model, (slope, var_model)
+    assert slope >= var_model / 16.0, (
+        f"model 16x above measurement: slope={slope:.3e} "
+        f"model={var_model:.3e}")
