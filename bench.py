@@ -188,6 +188,57 @@ def main():
         except Exception as e:  # pragma: no cover
             print(f"cached-read bench skipped: {e}", file=sys.stderr)
 
+    # batched reads (BASELINE config 3): B addresses per call through the
+    # batch-gridded kernels + spectral cache, slope-measured (k chained
+    # calls in one jit; a per-call wall carries 20-90 ms tunnel RPC
+    # overhead = 10-40% at this call size)
+    batched_rps = None
+    if os.environ.get("FHERAM_BENCH_BATCH", "1") == "1":
+        try:
+            from fhe_ram_tpu.ram.address import spectral_cache
+            from fhe_ram_tpu.ram.ram import read_batch_impl
+
+            B = int(os.environ.get("FHERAM_BENCH_B", "64"))
+            with client_ctx():
+                aps_b = [address_mod.prepare(ctx, address_mod.encrypt(
+                    par, ctx, s_ntt, int(rnd.integers(0, par.max_addr)), src))
+                    for _ in range(B)]
+                coords_b = tuple(
+                    np.stack([np.asarray(a.coordinates[i]) for a in aps_b], 0)
+                    for i in range(len(aps_b[0].coordinates)))
+            coords_b_dev = jax.device_put(coords_b, tpu)
+            cache_b = jax.jit(lambda d: spectral_cache(par, ctx, d))(ram_dev)
+
+            def k_batch(kk):
+                def fn(d, c, atk_in, cache_in):
+                    def body(carry, _):
+                        y = read_batch_impl(par, ctx, carry, c, atk_in,
+                                            cache_in)
+                        carry = carry + (jnp.sum(y) >> 30).astype(carry.dtype)
+                        return carry, jnp.sum(y[0, 0, :, 0, 0])
+                    _, outs = jax.lax.scan(body, d, None, length=kk)
+                    return jnp.sum(outs)
+                return jax.jit(fn)
+
+            kb = 4
+            b1, bk = k_batch(1), k_batch(kb)
+
+            def best_b(fn, n=3):
+                ts = []
+                for _ in range(n):
+                    t0 = time.perf_counter()
+                    np.asarray(fn(ram_dev, coords_b_dev, keys_dev.atk_glwe,
+                                  cache_b))
+                    ts.append(time.perf_counter() - t0)
+                return min(ts)
+
+            np.asarray(b1(ram_dev, coords_b_dev, keys_dev.atk_glwe, cache_b))
+            np.asarray(bk(ram_dev, coords_b_dev, keys_dev.atk_glwe, cache_b))
+            slope_s = (best_b(bk) - best_b(b1)) / (kb - 1)
+            batched_rps = B / slope_s
+        except Exception as e:  # pragma: no cover
+            print(f"batched bench skipped: {e}", file=sys.stderr)
+
     def best_cycle(fn, n=3):
         ts = []
         for _ in range(n):
@@ -252,6 +303,8 @@ def main():
         result["write_vs_baseline"] = round(BASELINE_WRITE_MS / rmw_ms, 2)
     if cached_read_ms is not None:
         result["read_cached_ms"] = round(cached_read_ms, 3)
+    if batched_rps is not None:
+        result["batched_reads_per_s"] = round(batched_rps, 1)
     print(json.dumps(result))
 
 

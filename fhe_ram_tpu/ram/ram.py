@@ -164,8 +164,11 @@ def read_impl(params: Params, ctx: NTTContext, data, coords, atk):
 # [B, W, R, C, L, N] (~100 MB per address at 2^18), so one slice of 64
 # is near the single-chip HBM sweet spot (measured: B=256 unsliced
 # OOMs; B=64 runs at 104 reads/s); larger batches run slices
-# sequentially under lax.map at the per-slice rate
-_BATCH_CHUNK = 64
+# sequentially under lax.map at the per-slice rate.  Env-overridable
+# for re-probing (round-4 hygiene: 64 was tuned pre-READOPT).
+import os as _os
+
+_BATCH_CHUNK = int(_os.environ.get("FHERAM_BATCH_CHUNK", "64"))
 
 
 def read_batch_impl(params: Params, ctx: NTTContext, data, coords_b, atk,

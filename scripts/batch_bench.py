@@ -99,8 +99,43 @@ def main():
         np.asarray(fn_scalar(ram_dev, coords_dev, atk_dev))
         ts.append(time.perf_counter() - t0)
     t = min(ts)
-    print(f"batch={args.batch}: {t*1000:.0f} ms total, "
+    print(f"batch={args.batch} (wall): {t*1000:.0f} ms total, "
           f"{t/args.batch*1000:.2f} ms/read, {args.batch/t:.1f} reads/s", flush=True)
+
+    # scan-slope: k chained batched calls inside ONE jit -- the per-call
+    # wall above carries 20-90 ms of axon-tunnel RPC overhead, which at
+    # B=64 (~200 ms of work) inflates the per-read figure 10-40%.  The
+    # carry perturbation is data-dependent but numerically ~zero
+    # (sum >> 30), so XLA can neither hoist nor DCE the body.  (The
+    # spectral cache goes stale against the perturbed carry -- fine for
+    # TIMING; correctness is checked on the unscanned call below.)
+    def k_calls(kk):
+        def f(d, c, a):
+            def body(carry, _):
+                y = ram_mod.read_batch_impl(par, ctx, carry, c, a, cache_dev)
+                carry = carry + (jnp.sum(y) >> 30).astype(carry.dtype)
+                return carry, jnp.sum(y[0, 0, :, 0, 0])
+            _, outs = jax.lax.scan(body, d, None, length=kk)
+            return jnp.sum(outs)
+        return jax.jit(f)
+
+    try:
+        kk = 4
+        s1, sk_ = k_calls(1), k_calls(kk)
+        np.asarray(s1(ram_dev, coords_dev, atk_dev))
+        np.asarray(sk_(ram_dev, coords_dev, atk_dev))
+        def _w(f):
+            t0 = time.perf_counter()
+            np.asarray(f(ram_dev, coords_dev, atk_dev))
+            return time.perf_counter() - t0
+        t1 = min(_w(s1) for _ in range(3))
+        tkk = min(_w(sk_) for _ in range(3))
+        ts_ = (tkk - t1) / (kk - 1)
+        print(f"batch={args.batch} (slope): {ts_*1000:.0f} ms/call, "
+              f"{ts_/args.batch*1000:.3f} ms/read, "
+              f"{args.batch/ts_:.1f} reads/s", flush=True)
+    except Exception as e:
+        print(f"slope measurement skipped: {e}", flush=True)
 
     # correctness spot-check (decode shares the server backend/device)
     with client_ctx():

@@ -1,8 +1,16 @@
-"""Per-phase attribution of the BATCHED read at 2^18 with random
-operands (no keygen): times level-0 batched product, batched pack,
-per-batch level-1 + trace, against their single-read counterparts.
+"""Per-phase attribution of the BATCHED read with random operands (no
+keygen): scan-slope timings (k chained applications inside one jitted
+lax.scan; per-call walls over the axon tunnel carry 20-90 ms RPC noise)
+of the exact phases of ram._read_batch_slice:
 
-Usage: FHERAM_NTT=pallas python scripts/batch_phase_probe.py [--b 16]
+  1. level-0 batched coordinate product (shared spectral data, optional
+     cache) vs its single-read counterpart,
+  2. batch-folded pack (B*W x R rows) vs the single pack (W x R),
+  3. per-batch level-1 product + folded trace,
+  4. end-to-end _read_batch_slice / read_batch_impl.
+
+Usage: FHERAM_NTT=pallas python scripts/batch_phase_probe.py \
+           [--b 64] [--k 4] [--config 2_18r] [--cached]
 """
 
 import argparse
@@ -17,35 +25,30 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from fhe_ram_tpu.params import PARAMS_README_2_18 as par
+from fhe_ram_tpu.params import (
+    PARAMS_README_2_18, PARAMS_2_18_WIDE, PARAMS_2_18_READOPT)
 from fhe_ram_tpu.ops.ntt import get_ntt_context
 from fhe_ram_tpu.core import keyswitch
 from fhe_ram_tpu.ram import address as address_mod, ram as ram_mod
 
-
-def timeit(name, fn, *args):
-    f = jax.jit(fn)
-    t0 = time.time()
-    r = jax.block_until_ready(f(*args))
-    # one dependent scalar fetch to defeat async-enqueue timing
-    np.asarray(jax.tree.leaves(r)[0].ravel()[0])
-    print(f"{name}: compile {time.time()-t0:.0f}s", flush=True)
-    ts = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        r = f(*args)
-        np.asarray(jax.tree.leaves(r)[0].ravel()[0])
-        ts.append(time.perf_counter() - t0)
-    ms = min(ts) * 1000
-    print(f"{name}: {ms:.1f} ms", flush=True)
-    return ms
+CONFIGS = {"2_18": PARAMS_README_2_18, "2_18w": PARAMS_2_18_WIDE,
+           "2_18r": PARAMS_2_18_READOPT}
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--b", type=int, default=16)
+    ap.add_argument("--b", type=int, default=64)
+    ap.add_argument("--k", type=int, default=4)
+    ap.add_argument("--config", default="2_18r")
+    ap.add_argument("--cached", action="store_true",
+                    help="feed level-0 the spectral data cache")
     args = ap.parse_args()
-    B = args.b
+    B, k = args.b, args.k
+    par = CONFIGS[args.config]
+    tr_ep, tr_ks = par.read_ep_trunc, par.read_ks_trunc
+
+    print("device:", jax.devices()[0], f"config={args.config} B={B} "
+          f"cached={args.cached}", flush=True)
 
     rnd = np.random.default_rng(0)
     n, C = par.n, par.rank + 1
@@ -72,46 +75,109 @@ def main():
     }
 
     ctx = get_ntt_context(par.n, par.primes)
-    # build the (lru-cached) pallas context EAGERLY: constructing it
-    # inside a jit trace leaks traced constants into the cache
     from fhe_ram_tpu.ops.ntt_pallas import get_pallas_context
 
     get_pallas_context(par.n, tuple(par.primes))
 
-    t_l0b = timeit(
-        f"level0 batched (B={B}, shared NTT)",
-        lambda d, c: address_mod.coordinate_product_batched(par, ctx, d, c),
-        data, coords0)
+    cache = None
+    if args.cached:
+        cache = jax.jit(
+            lambda d: address_mod.spectral_cache(par, ctx, d))(data)
+        jax.block_until_ready(cache)
 
-    t_l0s = timeit(
-        "level0 single",
-        lambda d, c: address_mod.coordinate_product(par, ctx, d, c),
-        data, coords0[0])
-    print(f"  -> batched {t_l0b/B:.2f} ms/read vs single {t_l0s:.2f}", flush=True)
+    def measure(name, make_fn, x0, per_read=1):
+        def chain(kk):
+            def wrapped(x):
+                def body(c, _):
+                    y = make_fn(c)
+                    return y, jnp.sum(jax.tree.leaves(y)[0][(0,) * 2])
 
+                out, sums = jax.lax.scan(body, x, None, length=kk)
+                return jnp.sum(sums)
+
+            return jax.jit(wrapped)
+
+        def _t(f, x):
+            t0 = time.perf_counter()
+            np.asarray(f(x))
+            return time.perf_counter() - t0
+
+        try:
+            f1, fk = chain(1), chain(k)
+            t0 = time.time()
+            np.asarray(f1(x0)); np.asarray(fk(x0))
+            print(f"{name}: compile {time.time()-t0:.0f}s", flush=True)
+            t1 = min(_t(f1, x0) for _ in range(3))
+            tk = min(_t(fk, x0) for _ in range(3))
+            ms = (tk - t1) / (k - 1) * 1000.0
+            print(f"{name}: {ms:.2f} ms ({ms/per_read:.3f} ms/read)",
+                  flush=True)
+            return ms
+        except Exception as e:
+            print(f"{name}: SKIP ({type(e).__name__}: {str(e)[:200]})",
+                  flush=True)
+            return float("nan")
+
+    # ---- 1. level-0 batched (carry = data-shaped; y[0] re-feeds it)
+    def l0_batched(x):
+        y = address_mod.coordinate_product_batched(par, ctx, x, coords0,
+                                                   cache, trunc=tr_ep)
+        return y[0]  # [W, R, C, L, N] -> chainable
+
+    t_l0b = measure(f"level0 batched (B={B})", l0_batched, data, per_read=B)
+
+    def l0_single(x):
+        return address_mod.coordinate_product(par, ctx, x, coords0[0],
+                                              trunc=tr_ep)
+
+    t_l0s = measure("level0 single", l0_single, data)
+
+    # ---- 2. pack, batch-folded vs single
     lvl0_b = jnp.asarray(
-        rnd.integers(-(1 << 16), 1 << 16, size=(B * W, R, C, L, n)), jnp.int32)
-    t_pk_b = timeit(
-        f"pack batched ({B*W} x {R} rows)",
-        lambda x: ram_mod._pack_rows(par, ctx, x, atk), lvl0_b)
-    t_pk_s = timeit(
-        f"pack single ({W} x {R} rows)",
-        lambda x: ram_mod._pack_rows(par, ctx, x, atk), lvl0_b[:W])
-    print(f"  -> batched {t_pk_b/B:.2f} ms/read vs single {t_pk_s:.2f}", flush=True)
+        rnd.integers(-(1 << 16), 1 << 16, size=(B * W, R, C, L, n)),
+        jnp.int32)
 
+    def pack_b(x):
+        return ram_mod._pack_rows(par, ctx, x, atk, trunc=tr_ks)[
+            :, 0][:, None].repeat(R, 1)
+
+    t_pk_b = measure(f"pack batched ({B*W} x {R} rows)", pack_b, lvl0_b,
+                     per_read=B)
+
+    def pack_s(x):
+        return ram_mod._pack_rows(par, ctx, x, atk, trunc=tr_ks)[
+            :, 0][:, None].repeat(R, 1)
+
+    t_pk_s = measure(f"pack single ({W} x {R} rows)", pack_s, lvl0_b[:W])
+
+    # ---- 3. level-1 perbatch + folded trace
     packed_b = jnp.asarray(
         rnd.integers(-(1 << 16), 1 << 16, size=(B, W, C, L, n)), jnp.int32)
-    t_l1 = timeit(
-        "level1 perbatch + trace",
-        lambda x, c: keyswitch.trace(
-            par, ctx,
-            address_mod.coordinate_product_perbatch(par, ctx, x, c).reshape(
-                (B * W, C, L, n)), atk),
-        packed_b, coords1)
-    print(f"  -> {t_l1/B:.2f} ms/read", flush=True)
 
-    total = t_l0b + t_pk_b + t_l1
-    print(f"sum {total:.0f} ms for B={B} = {total/B:.2f} ms/read", flush=True)
+    def l1_tr(x):
+        y = address_mod.coordinate_product_perbatch(par, ctx, x, coords1,
+                                                    trunc=tr_ep)
+        y = keyswitch.trace(par, ctx, y.reshape((B * W, C, L, n)), atk,
+                            trunc=tr_ks)
+        return y.reshape(B, W, C, L, n)
+
+    t_l1 = measure("level1 perbatch + trace", l1_tr, packed_b, per_read=B)
+
+    print(f"phase sum: {(t_l0b + t_pk_b + t_l1)/B:.3f} ms/read "
+          f"(l0 {t_l0b/B:.3f} pack {t_pk_b/B:.3f} l1+tr {t_l1/B:.3f})",
+          flush=True)
+
+    # ---- 4. end-to-end batched slice
+    def e2e(x):
+        y = ram_mod.read_batch_impl(par, ctx, x, (coords0, coords1), atk,
+                                    cache)
+        # thread a data-dependent (but numerically tiny) scalar back into
+        # the carry so XLA can neither DCE y nor hoist the body
+        return x + (jnp.sum(y) >> 30).astype(x.dtype)
+
+    t_e2e = measure(f"e2e read_batch_impl (B={B})", e2e, data, per_read=B)
+    print(f"e2e {t_e2e/B:.3f} ms/read vs phase sum "
+          f"{(t_l0b + t_pk_b + t_l1)/B:.3f}", flush=True)
 
 
 if __name__ == "__main__":
