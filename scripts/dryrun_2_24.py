@@ -29,7 +29,7 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np
 import jax.numpy as jnp
 
-from fhe_ram_tpu.params import PARAMS_2_24 as par
+from fhe_ram_tpu.params import PARAMS_2_24_READOPT as par
 from fhe_ram_tpu.parallel import mesh as mesh_mod
 
 
