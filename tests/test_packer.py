@@ -149,3 +149,29 @@ def test_pack_matches_streaming_reference_order():
     assert np.array_equal(got_stream[:M], slot_vals)
     # streaming cleanup zeroes everything beyond the inserted count
     assert not np.any(got_stream[M:]), got_stream[M : M + 8]
+
+
+def test_pack_tree_dilated_matches_pack():
+    """The distributed pack decomposition (packer.pack_tree): r local
+    dilated trees over the strided leaf classes + the log2(r) tail over
+    the gathered roots must be BIT-exact with the monolithic pack()
+    (this is what parallel/mesh._pack_rows_sharded runs per shard)."""
+    src, sk, s_ntt, ekp = setup(seed=9)
+    M = 8
+    pts = np.zeros((M, PAR.n), dtype=np.int64)
+    pts[:, 0] = [3, -1, 0, 2, -3, 1, 2, -2]
+    cts = enc(src, s_ntt, pts)
+    want = np.asarray(jax.jit(partial(packer.pack, PAR, CTX))(
+        cts, auto_keys_ntt=ekp.atk_glwe))
+
+    for r in (2, 4):
+        # shard k holds leaves congruent to k mod r (strided layout)
+        roots = [
+            packer.pack_tree(PAR, CTX, cts[k::r], ekp.atk_glwe, dilate=r,
+                             prescale=True)
+            for k in range(r)
+        ]
+        got = np.asarray(packer.pack_tree(
+            PAR, CTX, jnp.stack(roots), ekp.atk_glwe, dilate=1,
+            prescale=False))
+        assert np.array_equal(got, want), f"r={r}"
