@@ -109,10 +109,13 @@ def main():
     # (sum >> 30), so XLA can neither hoist nor DCE the body.  (The
     # spectral cache goes stale against the perturbed carry -- fine for
     # TIMING; correctness is checked on the unscanned call below.)
+    # cache passed as an ARGUMENT: a closed-over device array becomes an
+    # HLO constant and blows the remote compile service's request-size
+    # limit (HTTP 413) when combined with the coords/keys
     def k_calls(kk):
-        def f(d, c, a):
+        def f(d, c, a, cache):
             def body(carry, _):
-                y = ram_mod.read_batch_impl(par, ctx, carry, c, a, cache_dev)
+                y = ram_mod.read_batch_impl(par, ctx, carry, c, a, cache)
                 carry = carry + (jnp.sum(y) >> 30).astype(carry.dtype)
                 return carry, jnp.sum(y[0, 0, :, 0, 0])
             _, outs = jax.lax.scan(body, d, None, length=kk)
@@ -122,11 +125,11 @@ def main():
     try:
         kk = 4
         s1, sk_ = k_calls(1), k_calls(kk)
-        np.asarray(s1(ram_dev, coords_dev, atk_dev))
-        np.asarray(sk_(ram_dev, coords_dev, atk_dev))
+        np.asarray(s1(ram_dev, coords_dev, atk_dev, cache_dev))
+        np.asarray(sk_(ram_dev, coords_dev, atk_dev, cache_dev))
         def _w(f):
             t0 = time.perf_counter()
-            np.asarray(f(ram_dev, coords_dev, atk_dev))
+            np.asarray(f(ram_dev, coords_dev, atk_dev, cache_dev))
             return time.perf_counter() - t0
         t1 = min(_w(s1) for _ in range(3))
         tkk = min(_w(sk_) for _ in range(3))

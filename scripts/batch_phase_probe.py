@@ -85,11 +85,14 @@ def main():
             lambda d: address_mod.spectral_cache(par, ctx, d))(data)
         jax.block_until_ready(cache)
 
-    def measure(name, make_fn, x0, per_read=1):
+    def measure(name, make_fn, x0, per_read=1, ops=()):
+        """ops: extra operand arrays passed as JIT ARGUMENTS (closed-over
+        device arrays become HLO constants and can blow the remote
+        compile service's request-size limit -- HTTP 413)."""
         def chain(kk):
-            def wrapped(x):
+            def wrapped(x, *opnds):
                 def body(c, _):
-                    y = make_fn(c)
+                    y = make_fn(c, *opnds)
                     return y, jnp.sum(jax.tree.leaves(y)[0][(0,) * 2])
 
                 out, sums = jax.lax.scan(body, x, None, length=kk)
@@ -99,13 +102,13 @@ def main():
 
         def _t(f, x):
             t0 = time.perf_counter()
-            np.asarray(f(x))
+            np.asarray(f(x, *ops))
             return time.perf_counter() - t0
 
         try:
             f1, fk = chain(1), chain(k)
             t0 = time.time()
-            np.asarray(f1(x0)); np.asarray(fk(x0))
+            np.asarray(f1(x0, *ops)); np.asarray(fk(x0, *ops))
             print(f"{name}: compile {time.time()-t0:.0f}s", flush=True)
             t1 = min(_t(f1, x0) for _ in range(3))
             tk = min(_t(fk, x0) for _ in range(3))
@@ -167,15 +170,15 @@ def main():
           f"(l0 {t_l0b/B:.3f} pack {t_pk_b/B:.3f} l1+tr {t_l1/B:.3f})",
           flush=True)
 
-    # ---- 4. end-to-end batched slice
-    def e2e(x):
-        y = ram_mod.read_batch_impl(par, ctx, x, (coords0, coords1), atk,
-                                    cache)
+    # ---- 4. end-to-end batched slice (operands as jit args, see measure)
+    def e2e(x, c0, c1, a, cc):
+        y = ram_mod.read_batch_impl(par, ctx, x, (c0, c1), a, cc)
         # thread a data-dependent (but numerically tiny) scalar back into
         # the carry so XLA can neither DCE y nor hoist the body
         return x + (jnp.sum(y) >> 30).astype(x.dtype)
 
-    t_e2e = measure(f"e2e read_batch_impl (B={B})", e2e, data, per_read=B)
+    t_e2e = measure(f"e2e read_batch_impl (B={B})", e2e, data, per_read=B,
+                    ops=(coords0, coords1, atk, cache))
     print(f"e2e {t_e2e/B:.3f} ms/read vs phase sum "
           f"{(t_l0b + t_pk_b + t_l1)/B:.3f}", flush=True)
 
