@@ -295,11 +295,15 @@ def extract_slots(params: Params, ctx: NTTContext, ct, count: int,
         # (same magnitude, per-slot variance unchanged -- the model in
         # core/noise.py is untouched).  Previously both halves were
         # keyswitched: 2x the kernel work of this form.
-        g = gals[l]
-        A = automorphism_ks(params, ctx, nodes, g, auto_keys_ntt[g],
-                            out_limbs=nodes.shape[-2])
-        child0 = limb_ops.normalize(nodes + A)
-        child1 = limb_ops.normalize(poly.rotate(nodes - A, -(1 << l)))
+        #
+        # child0 comes from the fused trace-step kernel (sigma_g applied
+        # IN-kernel -- an XLA-level sigma_g is a minor-dim gather, the
+        # TPU serialization cliff); A is recovered as child0 - x, so
+        # child1 = X^-t(2x - child0) needs only adds + a slice+concat
+        # rotation (|2x - child0| <= 3*2^16, normalized after).
+        child0 = trace_steps(params, ctx, nodes, auto_keys_ntt, (gals[l],))
+        child1 = limb_ops.normalize(
+            poly.rotate(2 * nodes - child0, -(1 << l)))
         nodes = jnp.concatenate([child0, child1], axis=-4)
     out = trace_steps(params, ctx, nodes, auto_keys_ntt,
                       gals[s : s + tail])

@@ -227,17 +227,21 @@ def write_cycle_added_var(params: Params) -> tuple[float, float]:
     """(variance, deterministic) noise ADDED to one base-level data row
     by one full read_prepare_write + write cycle (ram/ram.py).
 
-    Per cycle a data row passes through: the rpw rotation (one CMux
-    chain with the fresh address GGSWs), the mid-step delta add (one
-    traced delta, at the evk_trace parameterization), and the final
-    inverse-coordinate CMux chain whose GGSWs are derived
-    homomorphically (keyswitch at evk_ggsw + tensor-key product), so
-    their rows are noisier than fresh ones."""
+    Exact-data-carry write (ram/ram.py round 4): the carried rows never
+    pass an external product -- the state keeps the original data and
+    the write adds inv0 (x) t_d, so the per-cycle addition is the delta
+    pipeline's noise only: the traced root delta (evk_trace
+    parameterization), the mid-level inverse-coordinate CMux chains
+    (GGSWs derived homomorphically: keyswitch at evk_ggsw + tensor-key
+    product, so their rows are noisier than fresh ones), the split-tree
+    extraction, and the final inverse chain applied to the delta rows.
+
+    Validated against a 40-cycle measurement (tests/test_noise.py
+    test_write_cycle_variance_slope_empirical; the pre-restructure model
+    measured 2.4x above the fitted slope)."""
     L = params.limbs_ct
     n2 = params.base2d().rows
 
-    # fresh address GGSW rows
-    var_row_addr = var_fresh(params, params.limbs_ggsw)
     # inverse-coordinate GGSW rows: automorphism keyswitch of the b-row
     # (digits = limbs_ggsw at the evk_ggsw key) + tensor-key external
     # product on top (a-row) -- take the noisier a-row
@@ -248,20 +252,17 @@ def write_cycle_added_var(params: Params) -> tuple[float, float]:
         params, Lg, var_fresh(params, params.limbs_evk_ggsw), Lg,
         var_in=var_row_b)
 
-    var = 0.0
-    # rpw rotation: one forward CMux chain per level-0 digit
-    for _ in n2[0].bases:
-        var = var_external_product(params, L, var_row_addr, L, var)
-    # mid-step delta add: delta noise ~ trace(one ct) at ct limbs
+    # root delta: delta noise ~ trace(one ct) at ct limbs
     var_delta, det_delta = trace_noise(params, var_fresh(params, L), L)
-    # the delta itself passed a CMux chain with inverse coordinates
+    # the delta passes the mid-level CMux chains with inverse coordinates
     for base1d in n2[1:]:
         for _ in base1d.bases:
             var_delta = var_external_product(params, L, var_row_inv, L,
                                              var_delta)
+    # split-tree extraction
     var_delta, det_delta = trace_noise(params, var_delta, L, det_in=det_delta)
-    var += var_delta
-    # final inverse chain on the base level
+    # final inverse chain applied to the delta rows
+    var = var_delta
     for _ in n2[0].bases:
         var = var_external_product(params, L, var_row_inv, L, var)
     return var, det_delta + 2 * det_trunc(L)

@@ -1580,7 +1580,8 @@ def _pack_kernel_factory(primes, rank: int, L: int, Lk: int,
 
 
 def fused_pack_merge_pallas(ctx: NTTPallasContext, A, B, t_rot: int,
-                            g: int, key_ntt, interpret: bool = False):
+                            g: int, key_ntt, interpret: bool = False,
+                            tbt: int | None = None):
     """One pack-tree merge level with all glue in-kernel:
 
         out = normalize(u + KS(sigma_g(v))),  u/v = A +- X^t B
@@ -1598,9 +1599,10 @@ def fused_pack_merge_pallas(ctx: NTTPallasContext, A, B, t_rot: int,
     assert Td <= L
     Lk = M // C2
 
+    TBT = tbt if tbt is not None else _TBT
     a = A.reshape(nb, C2, L, _SL, _LN)
     b = B.reshape(nb, C2, L, _SL, _LN)
-    Bp = -(-nb // _TBT) * _TBT
+    Bp = -(-nb // TBT) * TBT
     if Bp != nb:
         pad = jnp.zeros((Bp - nb, C2, L, _SL, _LN), dtype=a.dtype)
         a = jnp.concatenate([a, pad], axis=0)
@@ -1611,7 +1613,7 @@ def fused_pack_merge_pallas(ctx: NTTPallasContext, A, B, t_rot: int,
     ptabs = [jnp.asarray(v) for v in rperm.inputs() + aperm.inputs()]
     cdig, rdig, ew = _mxu_tables(ctx)
 
-    ct_spec = pl.BlockSpec((_TBT, C2, L, _SL, _LN),
+    ct_spec = pl.BlockSpec((TBT, C2, L, _SL, _LN),
                            lambda bb: (bb, 0, 0, 0, 0))
     const = lambda *shape: pl.BlockSpec(shape, lambda bb: (0,) * len(shape))
     in_specs = [
@@ -1624,7 +1626,7 @@ def fused_pack_merge_pallas(ctx: NTTPallasContext, A, B, t_rot: int,
     out = pl.pallas_call(
         _pack_kernel_factory(ctx.primes, rank, L, Lk, rperm, aperm,
                              in_digits=Td),
-        grid=(Bp // _TBT,),
+        grid=(Bp // TBT,),
         in_specs=in_specs,
         out_specs=ct_spec,
         out_shape=jax.ShapeDtypeStruct((Bp, C2, L, _SL, _LN), I32),

@@ -34,8 +34,6 @@ next to level 0.
 
 from __future__ import annotations
 
-from functools import partial
-
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -29,7 +29,6 @@ import numpy as np
 from ..params import Params
 from ..ops.ntt import NTTContext, get_ntt_context
 from ..ops import limb as limb_ops
-from ..ops import poly
 from ..core import glwe, ggsw, keyswitch, packer, rng
 from ..core import keys as keys_mod
 from . import address as address_mod
@@ -233,21 +232,41 @@ def _read_batch_slice(params: Params, ctx: NTTContext, data, coords_b, atk,
 
 def rpw_impl(params: Params, ctx: NTTContext, data, coords, atk):
     """read_prepare_write (reference src/ram.rs:461-542): identical output
-    to read, but persists every rotated level for the coming write."""
+    to read, and persists the rotated levels the write needs.
+
+    Exact-data-carry restructure (round 4): the reference (and rounds
+    1-3 here) persists the ROTATED base level and the write walks it
+    back with the inverse coordinate -- every RAM row passes TWO
+    external products per cycle.  But the final inverse product
+    distributes over the delta add:
+
+        inv0 (x) (X^-a0 data + t_d)  =  data + inv0 (x) t_d
+
+    so the base level never needs to persist (nor be touched): the
+    state keeps the ORIGINAL data rows exactly, and write adds the
+    inverse-rotated delta rows (write_impl).  Plaintext-identical;
+    strictly less noise on carried rows (the two rotation EPs vanish
+    from the per-cycle accumulation, core/noise.write_cycle_added_var);
+    at 2^24 the persisted tree shrinks by the 1.5 GB base level.
+
+    NO gadget truncation on the products/packs here: their outputs
+    persist into the write; only the final trace (read output,
+    ephemeral) truncates."""
     n2 = len(coords)
     levels = []
     cur = data
     for i in range(n2):
-        # NO gadget truncation here: the products/packs persist into the
-        # tree (write path), so they stay at full precision; only the
-        # final trace (read output, ephemeral) truncates.
         cur = _chunked_product(params, ctx, cur, coords[i])
         levels.append(cur)
         if i < n2 - 1:
             cur = _pack_rows(params, ctx, cur, atk)
     out = keyswitch.trace(params, ctx, levels[-1][:, 0], atk,
                           trunc=params.read_ks_trunc)
-    return out, levels[0], tuple(levels[1:])
+    # persist only the levels the write reads: the packed upper levels
+    # (the root carries the read slot), and for the single-level
+    # geometry the rotated base IS the root
+    tree = tuple(levels[1:]) if n2 > 1 else (levels[0],)
+    return out, data, tree
 
 
 def _invert_coordinate(params: Params, ctx: NTTContext, coord, keys):
@@ -264,38 +283,42 @@ def write_impl(params: Params, ctx: NTTContext, data, tree, w, addr_coords,
     """Encrypted write (reference Ram::write, src/ram.rs:226-294).
 
     addr_coords: tuple of COEFFICIENT-domain coordinates (the inverse
-    GGSWs are derived homomorphically in here).  Returns new data; the
-    tree contents are consumed (stale afterwards, matching the reference
-    state machine)."""
+    GGSWs are derived homomorphically in here).  data is the ORIGINAL
+    (un-rotated) RAM -- rpw_impl carries it exactly -- and tree the
+    persisted packed levels; returns new data.  The tree contents are
+    consumed (stale afterwards, matching the reference state machine).
+
+    Exact-data-carry (see rpw_impl): the walk propagates ONLY the delta
+    down the tree -- root delta -> per-slot extracted deltas ->
+    inverse-rotated base delta rows -- and the final step is
+    data + inv0 (x) deltas instead of the reference's
+    inv0 (x) (rotated base + deltas) (src/ram.rs:634-649).  Identical
+    plaintexts; carried rows never pass an external product."""
     atk = keys.atk_glwe
     n = params.n
     n2 = len(addr_coords)
-    levels = [data] + list(tree)
 
     # first step (src/ram.rs:544-577): the reference computes
-    # root <- root - TRACE(root) + w.  We additionally carry the DELTA
-    # (new root - old root): the mid steps then ADD extracted deltas to
-    # the parent rows instead of the reference's zero-slot-and-replace
+    # root <- root - TRACE(root) + w.  We carry the DELTA
+    # (new root - old root): the mid steps then propagate extracted
+    # deltas instead of the reference's zero-slot-and-replace
     # (ct_hi - T(ct_hi) + T(ct_lo)).  Same plaintexts -- slot m changes
     # by (w - old) only at the written slot -- but it halves the trace
     # batch and leaves untouched rows' noise untouched.
-    root = levels[-1][:, 0]  # [W, C, L, N]
+    root = tree[-1][:, 0]  # [W, C, L, N]
     t = keyswitch.trace(params, ctx, root, atk)
-    delta = limb_ops.normalize(w - t)          # new root - old root
-    levels[-1] = levels[-1].at[:, 0].add(delta)
-    deltas = delta[:, None]  # [W, R_last(=1), C, L, N]
+    deltas = limb_ops.normalize(w - t)[:, None]  # [W, R_last(=1), C, L, N]
 
-    # mid steps (src/ram.rs:579-632), batched over slots
+    # mid steps (src/ram.rs:579-632), batched over slots: walk the
+    # delta down to base-level row granularity
     for i in range(n2 - 2, -1, -1):
         inv = _invert_coordinate(params, ctx, addr_coords[i + 1], keys)
-        hi = levels[i]
         chunks = deltas.shape[1]
-        new_chunks = []
+        rows_i = data.shape[1] if i == 0 else tree[i - 1].shape[1]
         delta_next = []
         for j in range(chunks):
             d_lo = address_mod.coordinate_product(params, ctx, deltas[:, j], inv)
-            chunk = hi[:, j * n : (j + 1) * n]  # [W, Rc, C, L, N]
-            Rc = chunk.shape[1]
+            Rc = min(n, rows_i - j * n)
             # extracted deltas: t_d[:, m] = trace(X^-m d_lo), via the
             # binary split tree (keyswitch.extract_slots).
             # bounded_support: d_lo's plaintext is exactly [delta at the
@@ -305,14 +328,14 @@ def write_impl(params: Params, ctx: NTTContext, data, tree, w, addr_coords,
             # keyswitches at the 2^18 geometry; see extract_slots)
             t_d = keyswitch.extract_slots(params, ctx, d_lo, Rc, atk,
                                           bounded_support=True)
-            new_chunks.append(limb_ops.normalize(chunk + t_d))
             delta_next.append(t_d)
-        levels[i] = jnp.concatenate(new_chunks, axis=1)
         deltas = jnp.concatenate(delta_next, axis=1)
 
-    # last step: undo the base-level rotation (src/ram.rs:634-649)
+    # last step (src/ram.rs:634-649 restructured): inverse-rotate the
+    # delta rows and add them to the EXACT carried data
     inv0 = _invert_coordinate(params, ctx, addr_coords[0], keys)
-    return _chunked_product(params, ctx, levels[0], inv0)
+    upd = _chunked_product(params, ctx, deltas, inv0)
+    return limb_ops.normalize(data + upd)
 
 
 # --------------------------------------------------------------------------

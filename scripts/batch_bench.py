@@ -104,11 +104,7 @@ def main():
 
     # scan-slope: k chained batched calls inside ONE jit -- the per-call
     # wall above carries 20-90 ms of axon-tunnel RPC overhead, which at
-    # B=64 (~200 ms of work) inflates the per-read figure 10-40%.  The
-    # carry perturbation is data-dependent but numerically ~zero
-    # (sum >> 30), so XLA can neither hoist nor DCE the body.  (The
-    # spectral cache goes stale against the perturbed carry -- fine for
-    # TIMING; correctness is checked on the unscanned call below.)
+    # B=64 (~200 ms of work) inflates the per-read figure 10-40%.
     # cache passed as an ARGUMENT: a closed-over device array becomes an
     # HLO constant and blows the remote compile service's request-size
     # limit (HTTP 413) when combined with the coords/keys
@@ -116,7 +112,12 @@ def main():
         def f(d, c, a, cache):
             def body(carry, _):
                 y = ram_mod.read_batch_impl(par, ctx, carry, c, a, cache)
-                carry = carry + (jnp.sum(y) >> 30).astype(carry.dtype)
+                # opaque carry: the TPU pipeline hoists the body if the
+                # carry update is provably invariant (a >>30 perturbation
+                # was folded; CPU did not -- measured slope ~0 on TPU,
+                # 3.84x on CPU).  The barrier keeps y live and the next
+                # carry unprovable.
+                carry = jax.lax.optimization_barrier((carry, y))[0]
                 return carry, jnp.sum(y[0, 0, :, 0, 0])
             _, outs = jax.lax.scan(body, d, None, length=kk)
             return jnp.sum(outs)
@@ -131,8 +132,11 @@ def main():
             t0 = time.perf_counter()
             np.asarray(f(ram_dev, coords_dev, atk_dev, cache_dev))
             return time.perf_counter() - t0
-        t1 = min(_w(s1) for _ in range(3))
-        tkk = min(_w(sk_) for _ in range(3))
+        w1 = [_w(s1) for _ in range(3)]
+        wk = [_w(sk_) for _ in range(3)]
+        print(f"raw walls: k=1 {['%.0f' % (v*1000) for v in w1]} ms, "
+              f"k={kk} {['%.0f' % (v*1000) for v in wk]} ms", flush=True)
+        t1, tkk = min(w1), min(wk)
         ts_ = (tkk - t1) / (kk - 1)
         print(f"batch={args.batch} (slope): {ts_*1000:.0f} ms/call, "
               f"{ts_/args.batch*1000:.3f} ms/read, "

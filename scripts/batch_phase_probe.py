@@ -173,9 +173,10 @@ def main():
     # ---- 4. end-to-end batched slice (operands as jit args, see measure)
     def e2e(x, c0, c1, a, cc):
         y = ram_mod.read_batch_impl(par, ctx, x, (c0, c1), a, cc)
-        # thread a data-dependent (but numerically tiny) scalar back into
-        # the carry so XLA can neither DCE y nor hoist the body
-        return x + (jnp.sum(y) >> 30).astype(x.dtype)
+        # opaque carry: numeric perturbations get constant-folded by the
+        # TPU pipeline and the body hoists; the barrier keeps y live and
+        # the next carry unprovable
+        return jax.lax.optimization_barrier((x, y))[0]
 
     t_e2e = measure(f"e2e read_batch_impl (B={B})", e2e, data, per_read=B,
                     ops=(coords0, coords1, atk, cache))

@@ -88,9 +88,12 @@ def main():
     slope("delta coord product (W rows)",
           lambda x: address_mod.coordinate_product(par, ctx, x, inv1), ct1)
 
-    # 3. split-tree slot extraction, Rc=64
+    # 3. split-tree slot extraction, Rc=64 (bounded_support like the
+    # production write path; the plaintext-support precondition is a
+    # semantic guarantee, irrelevant for timing random operands)
     def extract(x):
-        t = keyswitch.extract_slots(par, ctx, x, 64, atk)
+        t = keyswitch.extract_slots(par, ctx, x, 64, atk,
+                                    bounded_support=True)
         return limb_ops.normalize(x + t[:, 0])
 
     slope("extract_slots Rc=64", extract, ct1)
