@@ -54,6 +54,10 @@ I32 = jnp.int32
 # VMEM, so the cap only bounds the (small) gadget-digit staging buffers.
 _KS_CHUNK = 4096
 
+# optional bigger merge-kernel row block for LARGE batches (see
+# _merge_level); 0 = keep the global _TBT everywhere
+_TBT_BIG = int(os.environ.get("FHERAM_PACK_TBT_BIG", "0"))
+
 
 def _merge_level(params: Params, ctx: NTTContext, A, B, t: int, g: int,
                  key_ntt, trunc: tuple = (None, None)):
@@ -79,7 +83,12 @@ def _merge_level(params: Params, ctx: NTTContext, A, B, t: int, g: int,
             P, D, rank, C2, Lk, n = key_ntt.shape
             k2 = jnp.transpose(key_ntt, (0, 2, 1, 3, 4, 5)).reshape(
                 P, rank * D, C2 * Lk, n)
-            out = ntt_pallas.fused_pack_merge_pallas(pctx, A2, B2, t, g, k2)
+            # large merge batches (batched reads: thousands of pair
+            # rows) can take a bigger row block per grid step;
+            # FHERAM_PACK_TBT_BIG=<rows> opts in (probed round 4)
+            tbt = _TBT_BIG if (_TBT_BIG and A2.shape[0] >= 1024) else None
+            out = ntt_pallas.fused_pack_merge_pallas(pctx, A2, B2, t, g, k2,
+                                                     tbt=tbt)
             return out.reshape(lead + out.shape[1:])
 
     xb = poly.rotate(B, t)

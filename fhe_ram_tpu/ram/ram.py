@@ -19,6 +19,7 @@ State layout:
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from functools import partial
 
@@ -107,6 +108,10 @@ def _pack_rows(params: Params, ctx: NTTContext, cur, atk,
 # intermediates (~B * 8 limb-polys * 3 primes * 16KB each) so very large
 # geometries (2^24: 16384 rows) fit single-chip HBM; the slices are
 # sequential in the schedule and XLA reuses their buffers.
+# Scope note (round-4 re-probe): this bound governs only the COMPOSED
+# backend (CPU tests / butterfly) -- _chunked_product bypasses it
+# whenever the fused kernels serve the ring (fused_path_active), so it
+# has no effect on TPU production timings.
 _PRODUCT_CHUNK_ROWS = 1024
 
 
@@ -165,9 +170,7 @@ def read_impl(params: Params, ctx: NTTContext, data, coords, atk):
 # OOMs; B=64 runs at 104 reads/s); larger batches run slices
 # sequentially under lax.map at the per-slice rate.  Env-overridable
 # for re-probing (round-4 hygiene: 64 was tuned pre-READOPT).
-import os as _os
-
-_BATCH_CHUNK = int(_os.environ.get("FHERAM_BATCH_CHUNK", "64"))
+_BATCH_CHUNK = int(os.environ.get("FHERAM_BATCH_CHUNK", "64"))
 
 
 def read_batch_impl(params: Params, ctx: NTTContext, data, coords_b, atk,
