@@ -283,6 +283,15 @@ def extract_slots(params: Params, ctx: NTTContext, ct, count: int,
         shift -= step
     nodes = limb_ops.normalize(x)[..., None, :, :, :]
     gals = params.trace_gal_els
+
+    from ..ops import ntt as ntt_mod
+
+    use_split_kernel = False
+    if ntt_mod.get_backend() == "pallas" and params.n == 4096:
+        from ..ops import ntt_pallas
+
+        use_split_kernel = ntt_pallas._USE_MXU
+
     for l in range(s):
         # ONE keyswitch feeds BOTH children (round-4 halving): with
         # A = sigma_KS(x) (the homomorphic sigma_g under the trace key),
@@ -295,15 +304,30 @@ def extract_slots(params: Params, ctx: NTTContext, ct, count: int,
         # (same magnitude, per-slot variance unchanged -- the model in
         # core/noise.py is untouched).  Previously both halves were
         # keyswitched: 2x the kernel work of this form.
-        #
-        # child0 comes from the fused trace-step kernel (sigma_g applied
-        # IN-kernel -- an XLA-level sigma_g is a minor-dim gather, the
-        # TPU serialization cliff); A is recovered as child0 - x, so
-        # child1 = X^-t(2x - child0) needs only adds + a slice+concat
-        # rotation (|2x - child0| <= 3*2^16, normalized after).
-        child0 = trace_steps(params, ctx, nodes, auto_keys_ntt, (gals[l],))
-        child1 = limb_ops.normalize(
-            poly.rotate(2 * nodes - child0, -(1 << l)))
+        g = gals[l]
+        if use_split_kernel:
+            # both children from ONE launch, all glue in-VMEM
+            # (ntt_pallas.fused_split_pallas)
+            from ..ops import ntt_pallas
+
+            pctx = ntt_pallas.get_pallas_context(params.n, ctx.primes)
+            key = auto_keys_ntt[g]
+            P, D, rank, C2, Lk, n = key.shape
+            k2 = jnp.transpose(key, (0, 2, 1, 3, 4, 5)).reshape(
+                P, rank * D, C2 * Lk, n)
+            lead = nodes.shape[:-3]
+            flat = nodes.reshape((-1,) + nodes.shape[-3:])
+            c0, c1 = ntt_pallas.fused_split_pallas(pctx, flat, 1 << l, g, k2)
+            child0 = c0.reshape(lead + c0.shape[1:])
+            child1 = c1.reshape(lead + c1.shape[1:])
+        else:
+            # composed form: child0 = fused/composed trace step (sigma_g
+            # in-kernel on the pallas path -- an XLA-level sigma_g is a
+            # minor-dim gather, the TPU serialization cliff); child1 =
+            # X^-t(2x - child0) via adds + slice+concat rotation.
+            child0 = trace_steps(params, ctx, nodes, auto_keys_ntt, (g,))
+            child1 = limb_ops.normalize(
+                poly.rotate(2 * nodes - child0, -(1 << l)))
         nodes = jnp.concatenate([child0, child1], axis=-4)
     out = trace_steps(params, ctx, nodes, auto_keys_ntt,
                       gals[s : s + tail])

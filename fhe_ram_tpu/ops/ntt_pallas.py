@@ -1635,6 +1635,116 @@ def fused_pack_merge_pallas(ctx: NTTPallasContext, A, B, t_rot: int,
     return out[:nb].reshape(nb, C2, L, n)
 
 
+def _split_kernel_factory(primes, rank: int, L: int, Lk: int,
+                          aperm: _TilePerm, rback: _TilePerm,
+                          base2k: int = 17):
+    """One split-tree level (core/keyswitch.extract_slots) in ONE
+    launch with TWO outputs: A = sigma_KS(x) is computed once and
+
+        child0 = normalize(x + A)
+        child1 = normalize(X^-t (x - A)) = normalize(X^-t (2x - child0))
+
+    -- the keyswitch-halved split with ALL glue (automorphism, rotate,
+    adds, normalize) in-VMEM (an XLA-level automorphism is a minor-dim
+    gather; separate launches pay dispatch + HBM round trips)."""
+    P = len(primes)
+    C2 = rank + 1
+    T = rank * L
+    M = C2 * Lk
+    nperm = len(aperm.inputs()) + len(rback.inputs())
+
+    def kernel(*refs):
+        x_ref, k_ref = refs[:2]
+        perm_refs = iter(refs[2 : 2 + nperm])
+        cdig_ref, rdig_ref, ew_ref, o0_ref, o1_ref = refs[2 + nperm :]
+        pp = [np.int32(q) for q in primes]
+        ip = [np.float32(1.0 / q) for q in primes]
+        X = x_ref[...]  # [TBT, C2, L, SL, LN]
+
+        sv = aperm.apply(X, perm_refs)  # sigma_g(x), in-VMEM
+        digs = sv[:, :rank].reshape((X.shape[0], T, _SL, _LN))
+        specs = [_fwd_tile_mxu(digs, cdig_ref[p], rdig_ref[p], ew_ref[p],
+                               pp[p], ip[p]) for p in range(P)]
+
+        def inv_fn(p, y):
+            return _inv_tile_mxu(y, cdig_ref[p], rdig_ref[p], ew_ref[p],
+                                 pp[p], ip[p])
+
+        rsb = _vmp_invntt(specs, lambda p, t, m: k_ref[p, t, m],
+                          T, M, primes, inv_fn)
+        acc = _garner_fold_acc(rsb, primes, C2, Lk, L, base2k)
+
+        # child0 = normalize(x + KS(sigma_g x)): base = x + embed(sv_b)
+        def base_fn(c2i, l):
+            b = X[:, c2i, l]
+            if c2i == rank:
+                b = b + sv[:, rank, l]
+            return b
+
+        zero = jnp.zeros_like(X[:, 0, 0])
+        c0 = jnp.stack(_carry_normalize(acc, base_fn, -1, zero, base2k),
+                       axis=1).reshape(X.shape)
+        o0_ref[...] = c0
+
+        # child1 = X^-t(2x - child0), |2x - c0| <= 3*2^16, normalized
+        d = rback.apply(2 * X - c0, perm_refs)
+        acc1 = [[d[:, c2i, l] for l in range(L)] for c2i in range(C2)]
+        o1_ref[...] = jnp.stack(
+            _carry_normalize(acc1, lambda c2i, l: None, 1, zero, base2k),
+            axis=1).reshape(X.shape)
+
+    return kernel
+
+
+def fused_split_pallas(ctx: NTTPallasContext, ct, t_rot: int, g: int,
+                       key_ntt, interpret: bool = False,
+                       tbt: int | None = None):
+    """The halved split-tree level with in-kernel glue (see
+    _split_kernel_factory).  ct: int32[nb, C2, L, N] normalized;
+    key_ntt: int32[P, T, M, N] (T = rank*L, M = C2*Lk).
+    Returns (child0, child1), each int32[nb, C2, L, N]."""
+    assert _USE_MXU, "fused split requires the MXU kernel family"
+    n = ctx.n
+    nb, C2, L, n_ = ct.shape
+    P, T, M, n3 = key_ntt.shape
+    rank = C2 - 1
+    assert n_ == n and n3 == n and T == rank * L and M % C2 == 0
+    Lk = M // C2
+    TBT = tbt if tbt is not None else _TBT
+
+    x = ct.reshape(nb, C2, L, _SL, _LN)
+    Bp = -(-nb // TBT) * TBT
+    if Bp != nb:
+        pad = jnp.zeros((Bp - nb, C2, L, _SL, _LN), dtype=x.dtype)
+        x = jnp.concatenate([x, pad], axis=0)
+    k5 = key_ntt.reshape(P, T, M, _SL, _LN)
+    aperm = _TilePerm(n, g, 0)
+    rback = _TilePerm(n, 1, (2 * n - t_rot) % (2 * n))
+    ptabs = [jnp.asarray(v) for v in aperm.inputs() + rback.inputs()]
+    cdig, rdig, ew = _mxu_tables(ctx)
+
+    ct_spec = pl.BlockSpec((TBT, C2, L, _SL, _LN),
+                           lambda bb: (bb, 0, 0, 0, 0))
+    const = lambda *shape: pl.BlockSpec(shape, lambda bb: (0,) * len(shape))
+    in_specs = [
+        ct_spec,
+        const(P, T, M, _SL, _LN),
+        *[const(*v.shape) for v in ptabs],
+        const(P, 2, 3, _SL, _SL), const(P, 2, 3, _LN, _LN),
+        const(P, 2, _SL, _LN),
+    ]
+    o0, o1 = pl.pallas_call(
+        _split_kernel_factory(ctx.primes, rank, L, Lk, aperm, rback),
+        grid=(Bp // TBT,),
+        in_specs=in_specs,
+        out_specs=[ct_spec, ct_spec],
+        out_shape=[jax.ShapeDtypeStruct((Bp, C2, L, _SL, _LN), I32),
+                   jax.ShapeDtypeStruct((Bp, C2, L, _SL, _LN), I32)],
+        interpret=interpret or _INTERPRET,
+    )(x, k5, *ptabs, cdig, rdig, ew)
+    return (o0[:nb].reshape(nb, C2, L, n), o1[:nb].reshape(nb, C2, L, n))
+
+
 def _pack_tree_kernel_factory(primes, rank: int, L: int, Lk: int, M: int,
                               rperms, aperms, base2k: int = 17):
     """The WHOLE log-depth pack tree in one kernel: level s merges

@@ -308,3 +308,37 @@ def test_fused_blind_rotate_matches_composed(monkeypatch):
     got = conversion.scalar_to_ggsw_blind_rotation(
         par, ctx, tv, prep_g, rsh=2, mask_bits=3, lsh=1, negate=False)
     assert np.array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_fused_split_matches_composed():
+    """fused_split_pallas (ONE keyswitch, two outputs, glue in-VMEM)
+    must be bit-exact with the composed halved-split formula:
+    child0 = x + KS(sigma_g x) (trace step), child1 = X^-t(2x - child0)
+    (core/keyswitch.extract_slots composed branch)."""
+    from fhe_ram_tpu.ops.ntt_pallas import fused_split_pallas
+
+    rnd = np.random.default_rng(7)
+    B, rank, L, Lk = 3, 1, 3, 4
+    C2 = rank + 1
+    ct = jnp.asarray(rnd.integers(-(1 << 16), 1 << 16, size=(B, C2, L, N)),
+                     jnp.int32)
+    for l in (0, 3, 5):
+        g = (N >> l) + 1
+        t = 1 << l
+        keys = _rand_keys(rnd, 1, rank * L, C2 * Lk)[0]  # [P, T, M, N]
+
+        # composed reference: the full trace step (base = x + embed(
+        # sigma_g b)), then the rotation identity for child1
+        ct_g = poly.automorphism(ct, g)
+        x = ct_g[:, :rank].reshape(B, rank * L, N)
+        b_emb = ct_g[:, rank][:, None]
+        pad = jnp.zeros((B, C2 - 1, L, N), dtype=I32)
+        base = jnp.concatenate([pad, b_emb], axis=-3) + ct
+        c0_want = fused_external_fold_pallas(
+            PCTX, x, keys[:, None], L, C2, base=base, sign=-1,
+            interpret=True)
+        c1_want = limb_ops.normalize(poly.rotate(2 * ct - c0_want, -t))
+
+        c0, c1 = fused_split_pallas(PCTX, ct, t, g, keys, interpret=True)
+        assert np.array_equal(np.asarray(c0), np.asarray(c0_want)), f"l={l} c0"
+        assert np.array_equal(np.asarray(c1), np.asarray(c1_want)), f"l={l} c1"
