@@ -108,19 +108,21 @@ def main():
     # cache passed as an ARGUMENT: a closed-over device array becomes an
     # HLO constant and blows the remote compile service's request-size
     # limit (HTTP 413) when combined with the coords/keys
+    # Hoisting: with the spectral cache the batched read NEVER reads the
+    # data argument (level-0 consumes the cache), so a carry-threaded
+    # body is loop-INVARIANT and XLA legally hoists it out of the scan
+    # (measured: k=4 walls == k=1 walls at B=512).  Each iteration must
+    # consume DIFFERENT inputs: roll the address batch by the iteration
+    # index (the roll itself is a major-dim copy, ~0.01 ms/read noise).
     def k_calls(kk):
         def f(d, c, a, cache):
-            def body(carry, _):
-                y = ram_mod.read_batch_impl(par, ctx, carry, c, a, cache)
-                # opaque carry: the TPU pipeline hoists the body if the
-                # carry update is provably invariant (a >>30 perturbation
-                # was folded; CPU did not -- measured slope ~0 on TPU,
-                # 3.84x on CPU).  The barrier keeps y live and the next
-                # carry unprovable.
-                carry = jax.lax.optimization_barrier((carry, y))[0]
-                return carry, jnp.sum(y[0, 0, :, 0, 0])
-            _, outs = jax.lax.scan(body, d, None, length=kk)
-            return jnp.sum(outs)
+            def body(carry, i):
+                cs = jax.tree.map(lambda x: jnp.roll(x, i, axis=0), c)
+                y = ram_mod.read_batch_impl(par, ctx, d, cs, a, cache)
+                return carry + jnp.sum(y[0, 0, :, 0, 0]), None
+            acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.int32),
+                                  jnp.arange(kk))
+            return acc
         return jax.jit(f)
 
     try:

@@ -121,13 +121,41 @@ def main():
                   flush=True)
             return float("nan")
 
-    # ---- 1. level-0 batched (carry = data-shaped; y[0] re-feeds it)
-    def l0_batched(x):
-        y = address_mod.coordinate_product_batched(par, ctx, x, coords0,
-                                                   cache, trunc=tr_ep)
-        return y[0]  # [W, R, C, L, N] -> chainable
+    # ---- 1. level-0 batched, counter-driven roll: with the cache the
+    # kernel never reads the data carry, so same-input iterations hoist
+    # out of the scan; rolling the address batch per iteration index
+    # keeps every iteration distinct.
+    def l0_chain(kk):
+        def f(d, c0, cc):
+            def body(acc, i):
+                cs = jnp.roll(c0, i, axis=0)
+                y = address_mod.coordinate_product_batched(
+                    par, ctx, d, cs, cc, trunc=tr_ep)
+                return acc + jnp.sum(y[0, 0, :, 0, 0, 0]), None
+            acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.int32),
+                                  jnp.arange(kk))
+            return acc
+        return jax.jit(f)
 
-    t_l0b = measure(f"level0 batched (B={B})", l0_batched, data, per_read=B)
+    try:
+        l1f, lkf = l0_chain(1), l0_chain(k)
+        lops = (data, coords0, cache)
+        t0 = time.time()
+        np.asarray(l1f(*lops)); np.asarray(lkf(*lops))
+        print(f"level0 batched compile {time.time()-t0:.0f}s", flush=True)
+
+        def _tl(f):
+            t0 = time.perf_counter()
+            np.asarray(f(*lops))
+            return time.perf_counter() - t0
+
+        t_l0b = (min(_tl(lkf) for _ in range(3))
+                 - min(_tl(l1f) for _ in range(3))) / (k - 1) * 1000.0
+        print(f"level0 batched (B={B}): {t_l0b:.2f} ms "
+              f"({t_l0b/B:.3f} ms/read)", flush=True)
+    except Exception as e:
+        print(f"level0 batched: SKIP ({e})", flush=True)
+        t_l0b = float("nan")
 
     def l0_single(x):
         return address_mod.coordinate_product(par, ctx, x, coords0[0],
@@ -171,15 +199,41 @@ def main():
           flush=True)
 
     # ---- 4. end-to-end batched slice (operands as jit args, see measure)
-    def e2e(x, c0, c1, a, cc):
-        y = ram_mod.read_batch_impl(par, ctx, x, (c0, c1), a, cc)
-        # opaque carry: numeric perturbations get constant-folded by the
-        # TPU pipeline and the body hoists; the barrier keeps y live and
-        # the next carry unprovable
-        return jax.lax.optimization_barrier((x, y))[0]
+    # e2e with a COUNTER-driven roll: with the cache the read never
+    # consumes the data carry, so same-input iterations hoist out of
+    # the scan (see batch_bench.py); rolling the address batch by the
+    # iteration index makes every iteration distinct.
+    def e2e_chain(kk):
+        def f(d, c0, c1, a, cc):
+            def body(acc, i):
+                cs = jax.tree.map(lambda x: jnp.roll(x, i, axis=0),
+                                  (c0, c1))
+                y = ram_mod.read_batch_impl(par, ctx, d, cs, a, cc)
+                return acc + jnp.sum(y[0, 0, :, 0, 0]), None
+            acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.int32),
+                                  jnp.arange(kk))
+            return acc
+        return jax.jit(f)
 
-    t_e2e = measure(f"e2e read_batch_impl (B={B})", e2e, data, per_read=B,
-                    ops=(coords0, coords1, atk, cache))
+    try:
+        e1, ek = e2e_chain(1), e2e_chain(k)
+        eops = (data, coords0, coords1, atk, cache)
+        t0 = time.time()
+        np.asarray(e1(*eops)); np.asarray(ek(*eops))
+        print(f"e2e compile {time.time()-t0:.0f}s", flush=True)
+
+        def _te(f):
+            t0 = time.perf_counter()
+            np.asarray(f(*eops))
+            return time.perf_counter() - t0
+
+        t_e2e = (min(_te(ek) for _ in range(3))
+                 - min(_te(e1) for _ in range(3))) / (k - 1) * 1000.0
+        print(f"e2e read_batch_impl (B={B}): {t_e2e:.2f} ms "
+              f"({t_e2e/B:.3f} ms/read)", flush=True)
+    except Exception as e:
+        print(f"e2e: SKIP ({type(e).__name__}: {str(e)[:200]})", flush=True)
+        t_e2e = float("nan")
     print(f"e2e {t_e2e/B:.3f} ms/read vs phase sum "
           f"{(t_l0b + t_pk_b + t_l1)/B:.3f}", flush=True)
 

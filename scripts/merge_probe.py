@@ -11,6 +11,8 @@ import time
 os.environ.setdefault("FHERAM_NTT", "pallas")
 sys.path.insert(0, ".")
 
+import argparse
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -22,9 +24,18 @@ from fhe_ram_tpu.ops.ntt_pallas import (
 N = par.n
 C2 = par.rank + 1
 L = par.limbs_ct
-Lk = par.limbs_evk_trace
-T = par.rank * L
-M = C2 * Lk
+# full gadget by default; --trunc uses the READOPT merge shapes
+# (in_digits=2 of 3, key_limbs=3 of 4) to check whether the TRUNCATED
+# kernel (less compute per block, same DMA) scales differently
+ap = argparse.ArgumentParser()
+ap.add_argument("--trunc", action="store_true")
+args, _ = ap.parse_known_args()
+if args.trunc:
+    T = par.rank * 2
+    M = C2 * 3
+else:
+    T = par.rank * L
+    M = C2 * par.limbs_evk_trace
 pctx = get_pallas_context(N, tuple(par.primes))
 
 
