@@ -172,6 +172,16 @@ def read_impl(params: Params, ctx: NTTContext, data, coords, atk):
 # for re-probing (round-4 hygiene: 64 was tuned pre-READOPT).
 _BATCH_CHUNK = int(os.environ.get("FHERAM_BATCH_CHUNK", "64"))
 
+# Batched-read pack scheduling: the batch-FOLDED pack (all B*W trees in
+# one merge-kernel sequence) degrades per-row with batch width (round-4
+# pack_scale_probe: 1.24 ms/read-equiv at nb=4 -> 1.83 at nb=256; the
+# merge KERNEL itself is flat, the loss is glue/scheduling at GB-scale
+# operands), while the level-0 batched kernel amortizes well.  The
+# SLICED schedule packs per-address under lax.map (nb=W rows per merge
+# like a sequential read) and keeps the batched level-0 -- the hybrid
+# beats both the folded batch and the sequential scan.
+_BATCH_PACK_SLICED = os.environ.get("FHERAM_BATCH_PACK_SLICED", "1") == "1"
+
 
 def read_batch_impl(params: Params, ctx: NTTContext, data, coords_b, atk,
                     data_ntt=None):
@@ -220,9 +230,14 @@ def _read_batch_slice(params: Params, ctx: NTTContext, data, coords_b, atk,
                                                  coords_b[0], data_ntt,
                                                  trunc=ept)
     for i in range(1, n2):
-        flat = cur.reshape((B * W,) + cur.shape[2:])
-        flat = _pack_rows(params, ctx, flat, atk, trunc=kst)
-        cur = flat.reshape((B, W) + flat.shape[1:])
+        if _BATCH_PACK_SLICED and B > 1:
+            # per-address pack under lax.map (see _BATCH_PACK_SLICED)
+            cur = jax.lax.map(
+                lambda a: _pack_rows(params, ctx, a, atk, trunc=kst), cur)
+        else:
+            flat = cur.reshape((B * W,) + cur.shape[2:])
+            flat = _pack_rows(params, ctx, flat, atk, trunc=kst)
+            cur = flat.reshape((B, W) + flat.shape[1:])
         if i == n2 - 1:
             cur = cur[:, :, 0]  # [B, W, C, L, N]
         cur = address_mod.coordinate_product_perbatch(params, ctx, cur,
