@@ -190,7 +190,7 @@ def pack_tree(params: Params, ctx: NTTContext, cts, auto_keys_ntt: dict,
             s = min(shift, params.base2k - 1)
             cts = limb_ops.shift_right(cts, s)
             shift -= s
-        cts = limb_ops.normalize(cts)
+        # no normalize needed: see pack() (post-shift limbs <= 2^17)
     for ll in range(levels - 1, -1, -1):
         l = ll + log_d
         cts = _merge_level_chunked(params, ctx, cts[: 1 << ll],
@@ -236,8 +236,13 @@ def pack(params: Params, ctx: NTTContext, cts, auto_keys_ntt: dict,
     levels = M.bit_length() - 1
     if levels == 0:
         return cts[0]
-    # pre-scale by 1/M once (exact limb shift; see module docstring)
-    cts = limb_ops.normalize(limb_ops.shift_right(cts, levels))
+    # pre-scale by 1/M once (exact limb shift; see module docstring).
+    # No normalize: shift_right of normalized limbs is bounded by 2^17
+    # (2^16 >> s plus a carry < 2^17), so the first merge level's
+    # u/v = A +- X^t B digits stay <= 2^18 < the kernel's 2^18.58
+    # digit bound (and the composed path's 2^21); deeper levels consume
+    # kernel-normalized outputs.  Saves two HBM passes per pack.
+    cts = limb_ops.shift_right(cts, levels)
 
     from ..ops import ntt as ntt_mod
 
