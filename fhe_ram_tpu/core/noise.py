@@ -252,8 +252,34 @@ def write_cycle_added_var(params: Params) -> tuple[float, float]:
         params, Lg, var_fresh(params, params.limbs_evk_ggsw), Lg,
         var_in=var_row_b)
 
-    # root delta: delta noise ~ trace(one ct) at ct limbs
-    var_delta, det_delta = trace_noise(params, var_fresh(params, L), L)
+    # root value: the rpw tree pipeline at the RPW truncation
+    # (params.rpw_ks_digits ff.; identity when unset) -- EP chains per
+    # level, pack keyswitches, ending at the tree root
+    ep_d_r, ep_k_r = params.rpw_ep_trunc
+    ep_d_r = ep_d_r if ep_d_r is not None else L
+    ep_kl_r = ep_k_r if ep_k_r is not None else Lg
+    kst_r = params.rpw_ks_trunc
+    var_row_addr_r = (var_fresh(params, Lg)
+                      + var_key_trunc(ep_kl_r, Lg))
+    var_root = var_fresh(params, L)
+    det_root = 0.0
+    rows = params.num_rows
+    for base1d in n2:
+        for _ in base1d.bases:
+            var_root = var_external_product(params, ep_d_r, var_row_addr_r,
+                                            L, var_root, in_limbs=L)
+        if rows > 1:
+            m = 1 << max(1, (min(rows, params.n) - 1).bit_length())
+            var_root, d = packer_noise(params, var_root, L, m, trunc=kst_r)
+            det_root += d
+            rows = -(-rows // params.n)
+
+    # root delta: delta = w - trace(root); the root trace may run the
+    # RPW keyswitch truncation (its noise reaches the RAM only via the
+    # delta)
+    var_delta, det_delta = trace_noise(
+        params, var_root + var_fresh(params, L), L, det_in=det_root,
+        trunc=kst_r)
     # the delta passes the mid-level CMux chains with inverse coordinates
     for base1d in n2[1:]:
         for _ in base1d.bases:

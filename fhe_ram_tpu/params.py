@@ -179,6 +179,20 @@ class Params:
     read_ep_digits: int | None = None
     read_ep_limbs: int | None = None
 
+    # RPW-path gadget truncation (round 4).  With the exact-data-carry
+    # write (ram/ram.py), the rpw tree's noise reaches the RAM ONLY
+    # through the write delta (w - trace(root)) -- the carried rows
+    # never pass an external product -- so the rpw's products/packs and
+    # the write's root trace can also run on a truncated gadget at a
+    # priced trade against the per-cycle delta noise
+    # (core/noise.write_cycle_added_var prices it; the refresh budget
+    # must stay above the reference's ~40M bar).  Same slicing
+    # semantics as the read_* fields.
+    rpw_ks_digits: int | None = None
+    rpw_ks_limbs: int | None = None
+    rpw_ep_digits: int | None = None
+    rpw_ep_limbs: int | None = None
+
     def __post_init__(self):
         assert sum(self.decomp_n) == self.log_n, "decomp_n must sum to log_n"
         assert self.base2k == 17, "only base2k=17 is wired up"
@@ -194,6 +208,16 @@ class Params:
                 "read_ep_digits needs single-digit (wide) coordinates")
         if self.read_ep_limbs is not None:
             assert 1 <= self.read_ep_limbs <= self.limbs_ggsw
+        if self.rpw_ks_digits is not None:
+            assert 1 <= self.rpw_ks_digits <= self.limbs_ct
+        if self.rpw_ks_limbs is not None:
+            assert 1 <= self.rpw_ks_limbs <= self.limbs_evk_trace
+        if self.rpw_ep_digits is not None:
+            assert 1 <= self.rpw_ep_digits <= self.limbs_ct
+            assert max(len(r.bases) for r in self.base2d().rows) == 1, (
+                "rpw_ep_digits needs single-digit (wide) coordinates")
+        if self.rpw_ep_limbs is not None:
+            assert 1 <= self.rpw_ep_limbs <= self.limbs_ggsw
 
     @property
     def read_ks_trunc(self) -> tuple[int | None, int | None]:
@@ -202,6 +226,14 @@ class Params:
     @property
     def read_ep_trunc(self) -> tuple[int | None, int | None]:
         return (self.read_ep_digits, self.read_ep_limbs)
+
+    @property
+    def rpw_ks_trunc(self) -> tuple[int | None, int | None]:
+        return (self.rpw_ks_digits, self.rpw_ks_limbs)
+
+    @property
+    def rpw_ep_trunc(self) -> tuple[int | None, int | None]:
+        return (self.rpw_ep_digits, self.rpw_ep_limbs)
 
     @property
     def n(self) -> int:

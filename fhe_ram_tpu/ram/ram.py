@@ -267,17 +267,20 @@ def rpw_impl(params: Params, ctx: NTTContext, data, coords, atk):
     from the per-cycle accumulation, core/noise.write_cycle_added_var);
     at 2^24 the persisted tree shrinks by the 1.5 GB base level.
 
-    NO gadget truncation on the products/packs here: their outputs
-    persist into the write; only the final trace (read output,
-    ephemeral) truncates."""
+    Gadget truncation: the products/packs here feed the write ONLY
+    through the delta (see above), so they may run the params'
+    RPW-path truncation (params.Params.rpw_ks_digits ff., priced by
+    core/noise.write_cycle_added_var; None by default); the final
+    trace (read output, ephemeral) uses the READ truncation."""
+    ept, kst = params.rpw_ep_trunc, params.rpw_ks_trunc
     n2 = len(coords)
     levels = []
     cur = data
     for i in range(n2):
-        cur = _chunked_product(params, ctx, cur, coords[i])
+        cur = _chunked_product(params, ctx, cur, coords[i], trunc=ept)
         levels.append(cur)
         if i < n2 - 1:
-            cur = _pack_rows(params, ctx, cur, atk)
+            cur = _pack_rows(params, ctx, cur, atk, trunc=kst)
     out = keyswitch.trace(params, ctx, levels[-1][:, 0], atk,
                           trunc=params.read_ks_trunc)
     # persist only the levels the write reads: the packed upper levels
@@ -323,8 +326,10 @@ def write_impl(params: Params, ctx: NTTContext, data, tree, w, addr_coords,
     # (ct_hi - T(ct_hi) + T(ct_lo)).  Same plaintexts -- slot m changes
     # by (w - old) only at the written slot -- but it halves the trace
     # batch and leaves untouched rows' noise untouched.
+    # the root trace's noise reaches the RAM only via the delta: it may
+    # run the RPW keyswitch truncation (priced with the rpw tree noise)
     root = tree[-1][:, 0]  # [W, C, L, N]
-    t = keyswitch.trace(params, ctx, root, atk)
+    t = keyswitch.trace(params, ctx, root, atk, trunc=params.rpw_ks_trunc)
     deltas = limb_ops.normalize(w - t)[:, None]  # [W, R_last(=1), C, L, N]
 
     # mid steps (src/ram.rs:579-632), batched over slots: walk the

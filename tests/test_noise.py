@@ -247,3 +247,24 @@ def test_write_cycle_variance_slope_empirical():
     assert slope >= var_model / 16.0, (
         f"model 16x above measurement: slope={slope:.3e} "
         f"model={var_model:.3e}")
+
+
+def test_rpw_truncation_priced_out():
+    """RPW-path gadget truncation is PRICED OUT (round-4 analysis): the
+    rpw tree noise reaches every RAM row each cycle via the write delta,
+    and the pack's coherent M^2/3 amplification blows truncation noise
+    up ~9 orders -- even the mildest variant (one key limb off the pack
+    keyswitches) collapses the refresh budget below the reference's
+    ~40M bar.  The model prices it so nobody re-tries silently; the
+    production presets keep rpw at the full gadget."""
+    from fhe_ram_tpu.params import Params
+
+    base = dict(decomp_n=(12,), read_ks_digits=2, read_ks_limbs=3,
+                read_ep_digits=2, read_ep_limbs=3)
+    full = Params(**base)
+    assert noise.refresh_budget(full) >= 100_000_000
+    for kv in (dict(rpw_ks_limbs=3),
+               dict(rpw_ks_limbs=3, rpw_ep_limbs=3),
+               dict(rpw_ks_limbs=3, rpw_ep_limbs=3, rpw_ks_digits=2,
+                    rpw_ep_digits=2)):
+        assert noise.refresh_budget(Params(**base, **kv)) < 40_000_000
