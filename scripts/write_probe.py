@@ -13,10 +13,11 @@ import jax
 import jax.numpy as jnp
 from functools import partial
 
-from fhe_ram_tpu.params import PARAMS_README_2_18, PARAMS_2_18_WIDE
+from fhe_ram_tpu.params import (
+    PARAMS_README_2_18, PARAMS_2_18_WIDE, PARAMS_2_18_READOPT)
 
-par = (PARAMS_2_18_WIDE if os.environ.get("FHERAM_CONFIG") == "2_18w"
-       else PARAMS_README_2_18)
+par = {"2_18w": PARAMS_2_18_WIDE, "2_18r": PARAMS_2_18_READOPT}.get(
+    os.environ.get("FHERAM_CONFIG", ""), PARAMS_README_2_18)
 from fhe_ram_tpu.ops.ntt import get_ntt_context
 from fhe_ram_tpu.core import glwe, keys, rng
 from fhe_ram_tpu.ram import address as address_mod
