@@ -44,14 +44,19 @@ def main():
         from fhe_ram_tpu.params import PARAMS_README_2_18 as par
     elif _decomp == "wide":
         from fhe_ram_tpu.params import PARAMS_2_18_WIDE as par
-    elif _decomp == "turbo":
-        # turbo x readopt cross: 3-limb address GGSWs shrink the WRITE
-        # path's inverse products 25% (read path identical to READOPT);
-        # refresh budget 4.9e7 -- above the reference's 40M but below
-        # READOPT's 1.33e8, so it is opt-in rather than the default.
-        from fhe_ram_tpu.params import PARAMS_2_18_TURBO_READOPT as par
-    else:
+    elif _decomp == "readopt":
         from fhe_ram_tpu.params import PARAMS_2_18_READOPT as par
+    else:
+        # DEFAULT (round 4): the turbo x readopt cross -- 3-limb address
+        # GGSWs shrink the write path's inverse products 25% on top of
+        # the read truncation.  Round 3 kept it opt-in because the
+        # write REGRESSED (fused-kernel blocking); the round-4
+        # exact-data-carry write removed that, and the cross now beats
+        # READOPT on BOTH headline metrics (read 2.45 vs ~2.6, RMW 6.32
+        # vs ~6.9).  Refresh budget 5.8e7 RMW cycles -- above the
+        # reference's published >= ~40M (README.md:36); READOPT (1.33e8)
+        # stays available via FHERAM_BENCH_DECOMP=readopt.
+        from fhe_ram_tpu.params import PARAMS_2_18_TURBO_READOPT as par
     from fhe_ram_tpu.ops.ntt import get_ntt_context
     from fhe_ram_tpu.core import glwe, keys, rng
     from fhe_ram_tpu.ram import address as address_mod
