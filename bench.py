@@ -134,7 +134,7 @@ def main():
     np.asarray(f1(ram_dev, coords_k_dev, keys_dev.atk_glwe))  # compile
     np.asarray(fk(ram_dev, coords_k_dev, keys_dev.atk_glwe))  # compile
 
-    def best_of(fn, n=3):
+    def best_of(fn, n=5):
         ts = []
         for _ in range(n):
             t0 = time.perf_counter()
@@ -175,7 +175,7 @@ def main():
 
             g1, gk = k_cached_fn(1), k_cached_fn(k)
 
-            def best_cached(fn, n=3):
+            def best_cached(fn, n=5):
                 ts = []
                 for _ in range(n):
                     t0 = time.perf_counter()
