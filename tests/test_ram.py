@@ -171,3 +171,34 @@ def test_read_write_cycle(par):
         a2 = address_mod.prepare(ctx, address_mod.encrypt(par, ctx, s_ntt, other, src))
         out2 = server.read(st, a2)
         check_word(par, ctx, s_ntt, np.asarray(out2), data, other, f"other idx={other}")
+
+
+def test_batch_pack_schedules_equivalent():
+    """The SLICED (per-address lax.map, default) and FOLDED batched-pack
+    schedules must produce bit-identical batched reads (round-4: the
+    sliced hybrid fixes the folded schedule's +48% per-row glue
+    degradation at large batches; see BENCH_NOTES)."""
+    par = PARAMS_TEST_SMALL
+    ctx, src, s_ntt, server = build(par, seed=23)
+    rnd = np.random.default_rng(29)
+    data = rnd.integers(0, 256, size=par.max_addr * par.word_size).astype(
+        np.uint8)
+    ram_ct = ram_mod.encrypt_ram(par, ctx, s_ntt, data, src)
+    aps = [address_mod.prepare(
+        ctx, address_mod.encrypt(par, ctx, s_ntt, i, src))
+        for i in [3, 77, 201, 255]]
+    coords_b = tuple(
+        jnp.stack([a.coordinates[i] for a in aps], axis=0)
+        for i in range(len(aps[0].coordinates)))
+    atk = server.keys.atk_glwe
+    old = ram_mod._BATCH_PACK_SLICED
+    try:
+        ram_mod._BATCH_PACK_SLICED = True
+        sliced = np.asarray(ram_mod.read_batch_impl(
+            par, ctx, ram_ct, coords_b, atk))
+        ram_mod._BATCH_PACK_SLICED = False
+        folded = np.asarray(ram_mod.read_batch_impl(
+            par, ctx, ram_ct, coords_b, atk))
+    finally:
+        ram_mod._BATCH_PACK_SLICED = old
+    assert np.array_equal(sliced, folded)
