@@ -290,6 +290,78 @@ def rpw_impl(params: Params, ctx: NTTContext, data, coords, atk):
     return out, data, tree
 
 
+def rmw_batch_impl(params: Params, ctx: NTTContext, data, coords_prep_b,
+                   coords_coeff_b, w_b, keys: keys_mod.EvaluationKeysPrepared,
+                   data_ntt=None):
+    """Batched read-modify-write at B DISTINCT encrypted addresses in
+    ONE jit (round 4; no reference counterpart -- enabled by the
+    exact-data-carry write: rpw leaves the data untouched, so B deltas
+    simply ADD:  data' = data + sum_b inv0_b (x) t_d_b).
+
+    Semantics: all B reads see the PRE-write state (vectorized-store
+    semantics).  Addresses must be DISTINCT -- a duplicated address
+    would sum two (w - old) deltas; this cannot be checked under
+    encryption, so it is the caller's contract (same as any parallel
+    store).
+
+    coords_prep_b:  tuple over coordinates of stacked PREPARED coords
+        [B, P, dig, ...] (mesh.stack_addresses);
+    coords_coeff_b: the same stacking of the COEFFICIENT-domain coords
+        (the inverse GGSWs are derived in here);
+    w_b: int32[B, W, C, L, N] encrypted write words.
+
+    Returns (outs, new_data): outs int32[B, W, C, L, N] -- the values
+    AT the addresses before the write (the rpw read-out, from the same
+    full-gadget root trace that feeds the delta, so it is slightly
+    LESS noisy than a truncated batched read)."""
+    n2 = len(coords_prep_b)
+    assert n2 <= 2, "rmw_batch wired for the <=2-level geometry"
+    B = coords_prep_b[0].shape[0]
+    W, R = data.shape[0], data.shape[1]
+    atk = keys.atk_glwe
+    n = params.n
+    assert R <= n, "rmw_batch supports one pack chunk (R <= N)"
+
+    # rpw forward walk, batched: full gadget (the tree feeds the write)
+    cur = address_mod.coordinate_product_batched(params, ctx, data,
+                                                 coords_prep_b[0], data_ntt)
+    if n2 == 2:
+        packed = jax.lax.map(
+            lambda a: _pack_rows(params, ctx, a, atk), cur)  # [B, W, 1, ...]
+        root = address_mod.coordinate_product_perbatch(
+            params, ctx, packed[:, :, 0], coords_prep_b[1])  # [B, W, C, L, N]
+    else:
+        root = cur[:, :, 0]
+
+    # one FULL trace serves both the read-out and the delta
+    t = keyswitch.trace(params, ctx,
+                        root.reshape((B * W,) + root.shape[2:]), atk)
+    t = t.reshape((B, W) + t.shape[1:])
+    outs = t
+    deltas = limb_ops.normalize(w_b - t)  # [B, W, C, L, N]
+
+    # walk each delta down to base-row granularity (per-address inverse
+    # coordinates; the GGSW automorphisms are cheap -- lax.map over B)
+    if n2 == 2:
+        inv1_b = jax.lax.map(
+            lambda c: _invert_coordinate(params, ctx, c, keys),
+            coords_coeff_b[1])
+        d_lo = address_mod.coordinate_product_perbatch(
+            params, ctx, deltas, inv1_b)
+        # extract_slots puts the slot axis at -4 -> [B, W, R, C, L, N]
+        t_d = keyswitch.extract_slots(params, ctx, d_lo, R, atk,
+                                      bounded_support=True)
+    else:
+        t_d = deltas[:, :, None]  # [B, W, 1, C, L, N]
+
+    inv0_b = jax.lax.map(
+        lambda c: _invert_coordinate(params, ctx, c, keys),
+        coords_coeff_b[0])
+    upd = address_mod.coordinate_product_perbatch(params, ctx, t_d, inv0_b)
+    new_data = limb_ops.normalize(data + jnp.sum(upd, axis=0))
+    return outs, new_data
+
+
 def _invert_coordinate(params: Params, ctx: NTTContext, coord, keys):
     """GGSW(X^e) digits -> prepared GGSW(X^-e) digits (write path;
     reference prepare_inv, src/coordinate_prepared.rs:119-142)."""
@@ -406,6 +478,9 @@ class FheRam:
         # batched reads: shared-NTT + batch-gridded kernels (NOT vmap:
         # round 1 measured vmap(4) slower than 4 sequential reads)
         self._read_batch = jax.jit(partial(read_batch_impl, p, c))
+        self._rmw_batch = jax.jit(
+            lambda d, cp, cc, w, k: rmw_batch_impl(p, c, d, cp, cc, w, k),
+            donate_argnums=(0,))
         self._read_batch_cached = jax.jit(
             lambda d, cb, atk, dn: read_batch_impl(p, c, d, cb, atk, dn))
         self._spectral_cache = jax.jit(
@@ -441,6 +516,19 @@ class FheRam:
             return self._read_batch_cached(state.data, addrs_prep,
                                            self.keys.atk_glwe, cache)
         return self._read_batch(state.data, addrs_prep, self.keys.atk_glwe)
+
+    def rmw_batch(self, state: RamState, addrs_prep, addrs_coeff, w_b):
+        """Batched read-modify-write at B DISTINCT encrypted addresses
+        (rmw_batch_impl): ONE call reads all B pre-write values and
+        writes all B words.  addrs_prep/addrs_coeff: stacked prepared /
+        coefficient-domain coordinate tuples (mesh.stack_addresses
+        layout); w_b: int32[B, W, C, L, N].  Returns (outs, new_state).
+        Distinct addresses are the caller's contract (parallel-store
+        semantics; duplicates would sum deltas)."""
+        assert not state.pending, "pending write: call write() first"
+        outs, new_data = self._rmw_batch(state.data, addrs_prep,
+                                         addrs_coeff, w_b, self.keys)
+        return outs, RamState(data=new_data, tree=(), pending=False)
 
     def read_prepare_write(self, state: RamState,
                            addr_prep: address_mod.AddressPrepared):

@@ -202,3 +202,56 @@ def test_batch_pack_schedules_equivalent():
     finally:
         ram_mod._BATCH_PACK_SLICED = old
     assert np.array_equal(sliced, folded)
+
+
+@pytest.mark.parametrize("par", [PARAMS_TEST_FLAT, PARAMS_TEST_SMALL],
+                         ids=["flat_n2_1", "tree_n2_2"])
+def test_rmw_batch(par):
+    """Batched read-modify-write (rmw_batch_impl, round 4): B distinct
+    addresses read their pre-write values and all B words land; other
+    addresses are untouched.  Enabled by the exact-data-carry write
+    (deltas add on the original data)."""
+    ctx, src, s_ntt, server = build(par, seed=31)
+    rnd = np.random.default_rng(37)
+    data = rnd.integers(0, 256, size=par.max_addr * par.word_size).astype(
+        np.uint8)
+    ram_ct = ram_mod.encrypt_ram(par, ctx, s_ntt, data, src)
+
+    idxs = [2, 9, par.max_addr - 3]
+    addrs = [address_mod.encrypt(par, ctx, s_ntt, i, src) for i in idxs]
+    aps = [address_mod.prepare(ctx, a) for a in addrs]
+    coords_prep = tuple(
+        jnp.stack([a.coordinates[i] for a in aps], axis=0)
+        for i in range(len(aps[0].coordinates)))
+    coords_coeff = tuple(
+        jnp.stack([a.coordinates[i] for a in addrs], axis=0)
+        for i in range(len(addrs[0].coordinates)))
+    new_words = rnd.integers(0, 256,
+                             size=(len(idxs), par.word_size)).astype(np.uint8)
+    w_b = jnp.stack([
+        ram_mod.encrypt_write_word(par, ctx, s_ntt, nw, src)
+        for nw in new_words], axis=0)
+
+    state = server.init_state(ram_ct)
+    outs, state = server.rmw_batch(state, coords_prep, coords_coeff, w_b)
+    outs = np.asarray(outs)
+
+    # 1. the batched read-outs are the PRE-write values
+    for b, idx in enumerate(idxs):
+        check_word(par, ctx, s_ntt, outs[b], data, idx, f"rmw out b={b}")
+
+    # 2. all B new words landed
+    for b, idx in enumerate(idxs):
+        ap2 = address_mod.prepare(ctx, address_mod.encrypt(par, ctx, s_ntt,
+                                                           idx, src))
+        got = np.asarray(server.read(state, ap2))
+        check_word(par, ctx, s_ntt, got, new_words.reshape(-1), b,
+                   f"rmw landed b={b}")
+
+    # 3. untouched address intact
+    other = 5
+    assert other not in idxs
+    ap3 = address_mod.prepare(ctx, address_mod.encrypt(par, ctx, s_ntt,
+                                                       other, src))
+    got = np.asarray(server.read(state, ap3))
+    check_word(par, ctx, s_ntt, got, data, other, "rmw untouched")
