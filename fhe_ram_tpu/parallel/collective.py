@@ -112,10 +112,18 @@ def interpret_default() -> bool:
 def all_gather(x, axis_name: str, num_devices: int,
                interpret: bool | None = None):
     """The pack-root exchange: XLA's all_gather by default, the Pallas
-    ring when FHERAM_RING_AG=1 (see module docstring)."""
+    ring when FHERAM_RING_AG=1 (see module docstring).
+
+    Multi-process limitation: the CPU interpret emulation of remote
+    DMAs cannot cross process boundaries, so under multi-HOST CPU
+    emulation (jax.process_count() > 1) the ring falls back to
+    lax.all_gather even when requested.  On real multi-host TPUs the
+    ring compiles natively (no interpret) and is not affected."""
     if USE_RING_AG and num_devices > 1:
         if interpret is None:
             interpret = interpret_default()
+        if interpret and jax.process_count() > 1:
+            return lax.all_gather(x, axis_name)
         return ring_all_gather(x, axis_name, num_devices,
                                interpret=interpret)
     return lax.all_gather(x, axis_name)
