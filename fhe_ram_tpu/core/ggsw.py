@@ -143,7 +143,8 @@ def external_product_batched(params: Params, ctx: NTTContext, ct, ggsw_ntt,
 
 def external_product_keyed(params: Params, ctx: NTTContext, ct, ggsw_ntt,
                            out_limbs: int | None = None, base=None,
-                           sign: int = 1, interpret: bool = False):
+                           sign: int = 1, interpret: bool = False,
+                           trunc: tuple = (None, None)):
     """GLWE x GGSW with K distinct GGSWs, each applied to B rows:
     ct: int32[K, B, C, L, N]; ggsw_ntt: int32[P, K, D, C, C2, Lg, N];
     base: optional int32[K, B, C2, Lout, N].
@@ -151,11 +152,27 @@ def external_product_keyed(params: Params, ctx: NTTContext, ct, ggsw_ntt,
     The VM's CMux batches have FEW distinct bit GGSWs shared by many
     rows (e.g. a barrel level: 2 shift-amount bits x 96 rows); streaming
     per-ROW keys made those kernels DMA-bound (~2.3 MB/row), so this
-    keyed form streams each key once per key-group."""
+    keyed form streams each key once per key-group.
+
+    trunc = (in_digits, key_limbs): optional gadget truncation (the
+    read-path pattern, params.Params.read_ep_digits): decompose only
+    the top in_digits ct limbs against GGSW rows sliced to key_limbs.
+    Sound for EPHEMERAL intermediate words (VM circuit values): the
+    per-CMux truncation variance ~2^-60 is negligible against the
+    2^-(k_pt+1) bit-decode bound (BENCH_NOTES round-5 lever)."""
+    in_digits, key_limbs = trunc
+    L_full = ct.shape[-2]
+    if in_digits is not None:
+        ggsw_ntt = ggsw_ntt[:, :, :in_digits]
+        ct = ct[..., :in_digits, :]
+    if key_limbs is not None:
+        ggsw_ntt = ggsw_ntt[..., :key_limbs, :]
     P, K, D, C, C2, Lg, n = ggsw_ntt.shape
     K2, B, C3, L, n2 = ct.shape
     assert K2 == K and C3 == C and D == L and n2 == n
-    Lout = out_limbs if out_limbs is not None else L
+    # output precision defaults to the PRE-truncation limb count (the
+    # truncation only coarsens the decomposition, not the result)
+    Lout = out_limbs if out_limbs is not None else L_full
 
     from ..ops import ntt as ntt_mod
 

@@ -22,6 +22,8 @@ from __future__ import annotations
 
 from functools import lru_cache
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -301,8 +303,9 @@ def _shift_group(params: Params, ctx: NTTContext, ops, rs1p, rs2p, immp,
     G = len(ops)
     W = bits
     logw = W.bit_length() - 1
+    ept, kst = _vm_trunc(params)
     word = circuits.word_from_bits(params, ctx, rs1p, bits)
-    slots0 = circuits.extract_slots(params, ctx, word, atk, bits)
+    slots0 = circuits.extract_slots(params, ctx, word, atk, bits, trunc=kst)
     slots = jnp.broadcast_to(slots0, (G,) + slots0.shape)  # [G, W, C, L, N]
     zero = jnp.zeros_like(slots0[0])
     for k in range(logw):
@@ -343,7 +346,7 @@ def _shift_group(params: Params, ctx: NTTContext, ops, rs1p, rs2p, immp,
             ls.append(lw)
             bks.append((immp if is_imm else rs2p)[:, k : k + 1])
         res = circuits.cmux_keyed(params, ctx, jnp.concatenate(bks, axis=1),
-                                  jnp.stack(hs), jnp.stack(ls))
+                                  jnp.stack(hs), jnp.stack(ls), trunc=ept)
         new = [None] * G
         for si, (is_imm, gis) in enumerate(groups_items):
             r = res[si, : len(gis) * W].reshape((len(gis), W) + zero.shape)
@@ -352,6 +355,22 @@ def _shift_group(params: Params, ctx: NTTContext, ops, rs1p, rs2p, immp,
         slots = jnp.stack(new)
     return {op: circuits.assemble_word(params, slots[gi], bits)
             for gi, op in enumerate(ops)}
+
+
+# Ephemeral-word gadget truncation for the VM's GENERIC CMux/trace
+# calls (the shift barrel + its slot extraction): the per-op truncation
+# variance (~2^-60, BENCH_NOTES "round-5 lever") is negligible against
+# the 2^-(k_pt+1) bit-decode bound.  Uses the params' read-path fields
+# (same ephemeral rationale); FHERAM_VM_TRUNC=0 disables.
+_VM_TRUNC = os.environ.get("FHERAM_VM_TRUNC", "1") == "1"
+
+
+def _vm_trunc(params):
+    if not _VM_TRUNC:
+        return (None, None), (None, None)
+    # read_ep_digits carries a wide-coordinate assert for ADDRESS use;
+    # here the "digits" are plain ct limbs -- reuse the values directly
+    return params.read_ep_trunc, params.read_ks_trunc
 
 
 def _src_groups(ops):

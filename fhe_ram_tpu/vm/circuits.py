@@ -48,16 +48,20 @@ def cmux(params: Params, ctx: NTTContext, bit_prep, high, low):
                                          base=low)
 
 
-def cmux_keyed(params: Params, ctx: NTTContext, bit_prep, high, low):
+def cmux_keyed(params: Params, ctx: NTTContext, bit_prep, high, low,
+               trunc: tuple = (None, None)):
     """cmux with K distinct bit GGSWs, each selecting B rows:
     bit_prep [P, K, D, C, C2, Lg, N]; high/low [K, B, C, L, N].
 
     The VM circuits' CMux batches reuse each bit GGSW across many rows
     (a barrel level: one shift bit x 96 rows); the keyed form streams
     each 2.3 MB key once instead of once per row -- the per-row form
-    measured DMA-bound (scripts/cmux_probe.py)."""
+    measured DMA-bound (scripts/cmux_probe.py).
+
+    trunc: optional gadget truncation for EPHEMERAL words (see
+    ggsw.external_product_keyed)."""
     return ggsw.external_product_keyed(params, ctx, high - low, bit_prep,
-                                       base=low)
+                                       base=low, trunc=trunc)
 
 
 def ggsw_key_rows(prep, j):
@@ -106,7 +110,8 @@ def get_ctx(params: Params) -> NTTContext:
     return get_ntt_context(params.n, params.primes)
 
 
-def extract_slots(params: Params, ctx: NTTContext, word, atk, bits: int = 32):
+def extract_slots(params: Params, ctx: NTTContext, word, atk, bits: int = 32,
+                  trunc: tuple = (None, None)):
     """All W slot values isolated to coefficient 0: [C, L, N] ->
     [W, C, L, N], via batched rotations + ONE batched full trace.
 
@@ -116,7 +121,7 @@ def extract_slots(params: Params, ctx: NTTContext, word, atk, bits: int = 32):
     BENCH_NOTES round 3)."""
     g = fheuint.gap(params, bits)
     y = jnp.stack([poly.rotate(word, -g * m) for m in range(bits)])
-    return keyswitch.trace(params, ctx, y, atk)  # [W, C, L, N]
+    return keyswitch.trace(params, ctx, y, atk, trunc=trunc)  # [W, C, L, N]
 
 
 def assemble_word(params: Params, slots, bits: int = 32):

@@ -132,3 +132,30 @@ def test_select_store_all_combinations():
         sel = store.select_store(PV, ctxv, xw, yw, offp, opp, ekp.atk_glwe, B32)
         got = fheuint.decrypt_word(PV, ctxv, s_ntt, sel, B32)
         assert got == model_store(off, op), (off, op, hex(got), hex(model_store(off, op)))
+
+
+def test_shift_ops_truncated_gadget():
+    """The shift barrel + slot extraction under the ephemeral-word
+    gadget truncation (vm/arithmetic._vm_trunc; BENCH_NOTES round-5
+    lever): decode must stay exact at a READOPT-style test ring."""
+    from fhe_ram_tpu.params import Params
+
+    PV = Params(log_n=6, k_pt=3, decomp_n=(6,), word_size=2,
+                max_addr=1 << 8, read_ks_digits=2, read_ks_limbs=3,
+                read_ep_digits=2, read_ep_limbs=3)
+    assert PV.read_ep_trunc == (2, 3)
+    ctxv = get_ntt_context(PV.n, PV.primes)
+    src = rng.Source(47)
+    sk = rng.ternary_secret(src.split(), PV.rank, PV.n, PV.xs_density)
+    s_ntt = glwe.secret_prepare(ctxv, sk)
+    ekp = keys.prepare(PV, keys.keygen(PV, sk, src))
+
+    a, b = 0xB4, 0x0D
+    rs1 = fheuint.encrypt_prepared(PV, ctxv, s_ntt, a, src, BITS)
+    rs2 = fheuint.encrypt_prepared(PV, ctxv, s_ntt, b, src, BITS)
+    words = arithmetic._shift_group(PV, ctxv, ("sll", "srl", "sra"),
+                                    rs1, rs2, rs2, ekp.atk_glwe, BITS)
+    for op, w in words.items():
+        got = fheuint.decrypt_word(PV, ctxv, s_ntt, w, BITS)
+        want = model_op(op, a, b)
+        assert got == want, (op, got, want)
