@@ -32,13 +32,13 @@ def main():
     # decomposition (decomp_n=(12,): ONE GGSW per coordinate -- a legal
     # configuration of the reference's decomp_n constructor parameter,
     # src/ram.rs:72-87, with strictly less noise; see params.py) plus
-    # READ-path gadget truncation (params.read_ks_digits ff.: a priced
-    # noise trade on the ephemeral read outputs only -- the analytic
-    # read bound is -16.3 vs the -10 decode requirement and the refresh
-    # budget is IDENTICAL to the untruncated config; the in-bench
-    # decrypt gate below checks the real noise every run).
+    # READ-path gadget truncation (a priced noise trade on the
+    # ephemeral read outputs; the in-bench decrypt gate below checks
+    # the real noise every run) and, by default, the turbo 3-limb
+    # address GGSWs (see the default branch).
     # FHERAM_BENCH_DECOMP=ref re-runs the reference's [3,3,3,3] digits;
-    # =wide the untruncated wide-digit config.
+    # =wide the untruncated wide-digit config; =readopt the 4-limb
+    # read-optimized preset.
     _decomp = os.environ.get("FHERAM_BENCH_DECOMP")
     if _decomp == "ref":
         from fhe_ram_tpu.params import PARAMS_README_2_18 as par
