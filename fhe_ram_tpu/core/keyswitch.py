@@ -237,7 +237,8 @@ def trace_steps(params: Params, ctx: NTTContext, ct, auto_keys_ntt: dict,
 
 
 def extract_slots(params: Params, ctx: NTTContext, ct, count: int,
-                  auto_keys_ntt: dict, bounded_support: bool = False):
+                  auto_keys_ntt: dict, bounded_support: bool = False,
+                  dilate: int = 1, residue=None):
     """All-slot extraction: out[..., m, :, :, :] = trace(X^-m ct) for
     m in [0, count), i.e. per slot an encryption of [slot_m(ct), 0...].
 
@@ -268,10 +269,27 @@ def extract_slots(params: Params, ctx: NTTContext, ct, count: int,
 
     Without the flag every leaf passes through exactly log_n
     keyswitches after the single 1/N pre-scale (full-trace semantics,
-    correct for arbitrary ct)."""
+    correct for arbitrary ct).
+
+    dilate / residue (the row-sharded write, parallel/mesh.py): return
+    ONLY the slots m with m === residue (mod dilate), ordered by
+    m // dilate -- out[..., j, :, :, :] = trace(X^-(j*dilate+residue) ct).
+    Split level l branches on bit l of m (LSB first), so after the
+    first log2(dilate) levels node k holds exactly the residue-k
+    subtree: with the STRIDED row sharding (mesh.row_shard_perm, shard
+    k = global rows === k mod n_shards) each shard selects ITS node
+    (residue = lax.axis_index, a traced scalar) and runs the remaining
+    levels + tail on 1/dilate of the tree -- the deep levels, where all
+    the work is.  The cheap first log2(dilate) levels run replicated.
+    count must be a multiple of dilate; s/tail/pre-scale are the GLOBAL
+    quantities (unchanged by sharding)."""
     n = params.n
     s = max(count - 1, 0).bit_length()  # ceil(log2(count))
     assert (1 << s) <= n
+    assert dilate >= 1 and dilate & (dilate - 1) == 0 and dilate <= (1 << s)
+    log_d = dilate.bit_length() - 1
+    if dilate > 1:
+        assert residue is not None and count % dilate == 0
     tail = params.log_n - s
     if bounded_support and count << s <= n:
         tail = 0
@@ -292,7 +310,38 @@ def extract_slots(params: Params, ctx: NTTContext, ct, count: int,
 
         use_split_kernel = ntt_pallas._USE_MXU
 
+    def _select(nodes):
+        # this shard's subtree: node index == low log_d bits of m
+        return jax.lax.dynamic_index_in_dim(nodes, residue,
+                                            axis=nodes.ndim - 4,
+                                            keepdims=True)
+
+    if use_split_kernel and dilate == 1 and s >= 1:
+        from ..ops import ntt_pallas
+
+        if (ntt_pallas._USE_SPLIT_TREE
+                and (1 << s) <= ntt_pallas._SPLIT_TREE_MAX):
+            # ALL s levels in ONE launch (state doubles in VMEM per grid
+            # step; ntt_pallas.fused_split_tree_pallas), then the tail
+            pctx = ntt_pallas.get_pallas_context(params.n, ctx.primes)
+            ks = []
+            for l in range(s):
+                key = auto_keys_ntt[gals[l]]
+                P, D, rank, C2, Lk, n_ = key.shape
+                ks.append(jnp.transpose(key, (0, 2, 1, 3, 4, 5)).reshape(
+                    P, rank * D, C2 * Lk, n_))
+            lead = nodes.shape[:-4]
+            flat = nodes[..., 0, :, :, :].reshape((-1,) + nodes.shape[-3:])
+            out_nodes = ntt_pallas.fused_split_tree_pallas(
+                pctx, flat, tuple(gals[:s]), jnp.stack(ks))
+            leaves = out_nodes.reshape(lead + out_nodes.shape[1:])
+            out = trace_steps(params, ctx, leaves, auto_keys_ntt,
+                              gals[s : s + tail])
+            return out[..., :count, :, :, :]
+
     for l in range(s):
+        if dilate > 1 and l == log_d:
+            nodes = _select(nodes)
         # ONE keyswitch feeds BOTH children (round-4 halving): with
         # A = sigma_KS(x) (the homomorphic sigma_g under the trace key),
         #   child0 = x + A                     (the 1 + sigma_g branch)
@@ -329,6 +378,8 @@ def extract_slots(params: Params, ctx: NTTContext, ct, count: int,
             child1 = limb_ops.normalize(
                 poly.rotate(2 * nodes - child0, -(1 << l)))
         nodes = jnp.concatenate([child0, child1], axis=-4)
+    if dilate > 1 and log_d == s:
+        nodes = _select(nodes)
     out = trace_steps(params, ctx, nodes, auto_keys_ntt,
                       gals[s : s + tail])
-    return out[..., :count, :, :, :]
+    return out[..., : count // dilate, :, :, :]

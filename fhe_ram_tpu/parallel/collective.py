@@ -32,7 +32,14 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-USE_RING_AG = os.environ.get("FHERAM_RING_AG") == "1"
+# FHERAM_RING_AG: 0 = XLA all_gather (default), 1 = Pallas ring
+# all-gather, 2 = merge-interleaved exchange (the overlap realized:
+# parallel/mesh._merge_exchange_tail consumes each arriving chunk
+# IMMEDIATELY in its tail merge -- recursive doubling, log2(n) partner
+# exchanges of one GLWE each instead of the ring's n-1 hops followed by
+# the whole tail; see exchange()).
+RING_AG_MODE = os.environ.get("FHERAM_RING_AG", "0")
+USE_RING_AG = RING_AG_MODE == "1"
 
 
 def _ag_kernel(input_ref, output_ref, local_sem, send_sem, recv_sems, *,
@@ -68,11 +75,17 @@ def _ag_kernel(input_ref, output_ref, local_sem, send_sem, recv_sems, *,
 
 
 def ring_all_gather(x, axis_name: str, num_devices: int,
-                    interpret: bool = False):
+                    interpret: bool = False, collective_id: int = 0):
     """All-gather x (one chunk per shard of `axis_name`) into
     [num_devices, *x.shape], ordered by device index -- a drop-in for
     jax.lax.all_gather(x, axis_name) on a ring.  Must be called inside
     shard_map with `axis_name` bound.
+
+    collective_id must be UNIQUE among Pallas collectives in the same
+    compiled program: two kernels sharing an id alias barrier
+    semaphores and can deadlock or corrupt.  The default 0 is correct
+    for the single pack-root exchange; a second collective (e.g. a
+    per-chunk overlapped tail) must pass its own id.
 
     interpret=True uses the TPU interpret mode (CPU emulation of the
     remote DMAs) so the ring is testable on the virtual device mesh."""
@@ -94,7 +107,61 @@ def ring_all_gather(x, axis_name: str, num_devices: int,
             pltpu.SemaphoreType.DMA((num_devices - 1,)),   # per-hop recv
         ],
         compiler_params=pltpu.CompilerParams(
-            collective_id=0,
+            collective_id=collective_id,
+        ),
+        interpret=(pltpu.InterpretParams() if interpret else False),
+    )(x)
+
+
+def _exchange_kernel(input_ref, output_ref, send_sem, recv_sem, *,
+                     stride: int, axis_name: str):
+    my_id = lax.axis_index(axis_name)
+    partner = my_id ^ stride
+    copy = pltpu.make_async_remote_copy(
+        src_ref=input_ref,
+        dst_ref=output_ref,
+        send_sem=send_sem,
+        recv_sem=recv_sem,
+        device_id={axis_name: partner},
+        device_id_type=pltpu.DeviceIdType.MESH,
+    )
+    copy.start()
+    copy.wait()
+
+
+def exchange(x, axis_name: str, stride: int, num_devices: int,
+             collective_id: int = 0, interpret: bool | None = None):
+    """Bidirectional partner exchange: every shard sends x to shard
+    (my_id XOR stride) along `axis_name` and returns the partner's x --
+    the communication primitive of the merge-interleaved pack tail
+    (FHERAM_RING_AG=2).  XOR partners form an involution, so one
+    async remote copy each way suffices; the caller merges the returned
+    chunk immediately (communication consumed in arrival order by
+    construction).
+
+    collective_id must be unique per exchange ROUND in the same program
+    (see ring_all_gather).  Falls back to lax.ppermute under
+    multi-process interpret emulation (remote DMAs cannot cross process
+    boundaries off-TPU)."""
+    assert stride & (stride - 1) == 0 and 0 < stride < num_devices
+    if interpret is None:
+        interpret = interpret_default()
+    if interpret and jax.process_count() > 1:
+        perm = [(i, i ^ stride) for i in range(num_devices)]
+        return lax.ppermute(x, axis_name, perm)
+    kernel = partial(_exchange_kernel, stride=stride, axis_name=axis_name)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.SemaphoreType.DMA,   # send
+            pltpu.SemaphoreType.DMA,   # recv
+        ],
+        compiler_params=pltpu.CompilerParams(
+            collective_id=collective_id,
         ),
         interpret=(pltpu.InterpretParams() if interpret else False),
     )(x)

@@ -117,14 +117,59 @@ def _pack_rows_sharded(params: Params, ctx, cur, atk, axis_name: str,
     root = packer.pack_tree(params, ctx, cts, atk, dilate=n_shards,
                             prescale=True, trunc=trunc)  # [W, C, L, N]
     if n_shards > 1:
-        # pack-root exchange: XLA all_gather, or the Pallas ring
-        # (FHERAM_RING_AG=1; parallel/collective.py)
+        # pack-root exchange: XLA all_gather, the Pallas ring
+        # (FHERAM_RING_AG=1), or the merge-interleaved exchange
+        # (FHERAM_RING_AG=2; parallel/collective.py)
         from . import collective
 
+        if collective.RING_AG_MODE == "2":
+            return _merge_exchange_tail(params, ctx, root, atk, axis_name,
+                                        n_shards, trunc)[:, None]
         nodes = collective.all_gather(root, axis_name, n_shards)
         root = packer.pack_tree(params, ctx, nodes, atk, dilate=1,
                                 prescale=False, trunc=trunc)
     return root[:, None]  # [W, 1, C, L, N]
+
+
+def _merge_exchange_tail(params: Params, ctx, root, atk, axis_name: str,
+                         n_shards: int, trunc: tuple = (None, None)):
+    """The pack tail with communication consumed in arrival order
+    (FHERAM_RING_AG=2): recursive doubling over the rows axis.
+
+    Rationale (parallel/collective.py module docstring): the ring
+    all-gather serializes n-1 hops and THEN runs the whole replicated
+    tail; here each of the log2(n) rounds exchanges ONE GLWE with the
+    XOR-stride partner and merges it immediately -- every received
+    chunk is consumed the moment it lands, and total ICI traffic drops
+    from n-1 to log2(n) chunk hops per shard.
+
+    Correctness: shard k's local dilated root is tail-tree node k
+    (slots === k mod n_shards).  Tail level ll of pack_tree(dilate=1)
+    merges nodes (j, j + 2^ll) -> j with stride t = 2^ll and galois
+    (N >> ll) + 1, largest ll first; before that round every shard
+    holds node (k mod 2^(ll+1)) of the current level, and partner
+    k XOR 2^ll holds the node differing exactly in bit ll -- the pair.
+    Bit ll of k picks the operand orientation (A = low node, B = high).
+    Runs the SAME _merge_level calls on the same operands as the
+    gathered tail, so the result is bit-exact and replicated
+    (tests/test_collective.py)."""
+    from . import collective
+
+    levels = n_shards.bit_length() - 1
+    my = jax.lax.axis_index(axis_name)
+    cur = root
+    n = params.n
+    for r, ll in enumerate(range(levels - 1, -1, -1)):
+        s = 1 << ll
+        other = collective.exchange(cur, axis_name, s, n_shards,
+                                    collective_id=r)
+        hi_bit = ((my >> ll) & 1).astype(jnp.bool_)
+        A = jnp.where(hi_bit, other, cur)
+        B = jnp.where(hi_bit, cur, other)
+        g = (n >> ll) + 1
+        cur = packer._merge_level(params, ctx, A, B, s, g, atk[g],
+                                  trunc=trunc)
+    return cur
 
 
 # --------------------------------------------------------------------------
@@ -189,14 +234,93 @@ def _sharded_batch_body(params: Params, ctx, n_shards: int, data, coords_b,
     sliced like ram.read_batch_impl when B_loc exceeds the HBM chunk."""
     B = coords_b[0].shape[0]
     k = ram_mod._BATCH_CHUNK
-    if B > k and B % k == 0:
-        sl = tuple(c.reshape((B // k, k) + c.shape[1:]) for c in coords_b)
+    if B > k:
+        # mirror ram.read_batch_impl: full slices under lax.map, the
+        # non-multiple remainder as one extra slice (an unsliced
+        # B > k local batch would hit the HBM blowup the chunk bounds)
+        nfull = B // k
+        parts = []
+        sl = tuple(c[: nfull * k].reshape((nfull, k) + c.shape[1:])
+                   for c in coords_b)
         outs = jax.lax.map(
             lambda cs: _sharded_batch_slice(params, ctx, n_shards, data, cs,
                                             atk, data_ntt), sl)
-        return outs.reshape((B,) + outs.shape[2:])
+        parts.append(outs.reshape((nfull * k,) + outs.shape[2:]))
+        if B % k:
+            parts.append(_sharded_batch_slice(
+                params, ctx, n_shards, data,
+                tuple(c[nfull * k :] for c in coords_b), atk, data_ntt))
+        return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
     return _sharded_batch_slice(params, ctx, n_shards, data, coords_b, atk,
                                 data_ntt)
+
+
+# --------------------------------------------------------------------------
+# sharded write path: the delta walk at shard-local row granularity
+# --------------------------------------------------------------------------
+#
+# The write walk is shard-friendly under the same strided layout as the
+# read (reference engine being matched: src/ram.rs:461-649): the root
+# trace and the delta's inverse-coordinate CMux operate on ONE GLWE
+# (replicated work), the split-tree slot extraction branches on bit l
+# of the slot index at level l -- so after log2(n_shards) replicated
+# levels each shard selects the node of ITS residue class and runs the
+# deep levels (where all the work is) on 1/n_shards of the tree
+# (core/keyswitch.extract_slots dilate/residue) -- and the final
+# inverse base products + delta adds are row-local by construction.
+# No collective at all: the write's one "gather" (the pack) happened in
+# the rpw forward walk.
+
+
+def _sharded_rpw_fwd(params: Params, ctx, n_shards: int, data, coords, atk):
+    """The rpw forward walk on row-sharded RAM: returns the packed tree
+    root [W, C, L, N] (replicated), full gadget (it feeds the write).
+    Products/packs run the params' RPW truncation like ram.rpw_impl."""
+    ept, kst = params.rpw_ep_trunc, params.rpw_ks_trunc
+    cur = ram_mod._chunked_product(params, ctx, data, coords[0], trunc=ept)
+    packed = _pack_rows_sharded(params, ctx, cur, atk, "rows", n_shards,
+                                trunc=kst)
+    return address_mod.coordinate_product(params, ctx, packed[:, 0],
+                                          coords[1], trunc=ept)
+
+
+def _sharded_delta_walk(params: Params, ctx, n_shards: int, data, delta,
+                        coords_coeff, keys):
+    """Walk a root delta [W, 1, C, L, N] down to this shard's local rows
+    and add: replicated inverse CMux + sharded split-tree extraction +
+    row-local inverse base products (ram.write_impl restructured for
+    the strided shard layout)."""
+    from ..ops import limb as limb_ops
+
+    atk = keys.atk_glwe
+    R = params.num_rows
+    assert R % n_shards == 0
+    inv1 = ram_mod._invert_coordinate(params, ctx, coords_coeff[1], keys)
+    d_lo = address_mod.coordinate_product(params, ctx, delta[:, 0], inv1)
+    my = jax.lax.axis_index("rows") if n_shards > 1 else 0
+    t_d = keyswitch.extract_slots(params, ctx, d_lo, R, atk,
+                                  bounded_support=True,
+                                  dilate=n_shards, residue=my)
+    inv0 = ram_mod._invert_coordinate(params, ctx, coords_coeff[0], keys)
+    upd = ram_mod._chunked_product(params, ctx, t_d, inv0)
+    return limb_ops.normalize(data + upd)
+
+
+def _sharded_rmw_body(params: Params, ctx, n_shards: int, data, coords_prep,
+                      coords_coeff, w, keys):
+    """One full RMW cycle on row-sharded RAM: rpw forward walk + ONE
+    full-gadget root trace serving both the read-out and the delta
+    (ram.rmw_batch_impl structure), then the sharded delta walk.
+    Returns (read_out [W, C, L, N] replicated, new local data shard)."""
+    from ..ops import limb as limb_ops
+
+    atk = keys.atk_glwe
+    root = _sharded_rpw_fwd(params, ctx, n_shards, data, coords_prep, atk)
+    t = keyswitch.trace(params, ctx, root, atk)
+    delta = limb_ops.normalize(w - t)[:, None]  # [W, 1, C, L, N]
+    new_data = _sharded_delta_walk(params, ctx, n_shards, data, delta,
+                                   coords_coeff, keys)
+    return t, new_data
 
 
 # --------------------------------------------------------------------------
@@ -244,6 +368,83 @@ def sharded_read_fn(params: Params, mesh: Mesh):
         check_vma=False,
     )
     return jax.jit(fn)
+
+
+def sharded_rmw_fn(params: Params, mesh: Mesh):
+    """Jitted read-modify-write over row-sharded RAM (the 2^24-scale
+    write: strided rows over chips, fused kernels per shard, the delta
+    walk sharded at the split-tree levels -- see _sharded_rmw_body).
+
+    Call as fn(data, coords_prep, coords_coeff, w, keys) ->
+    (read_out, new_data): data placed by shard_data_rows;
+    coords_prep/coords_coeff an AddressPrepared's / Address's
+    coordinate tuples (replicated); w int32[W, C, L, N]; keys the full
+    EvaluationKeysPrepared (the inverse coordinates need the tensor
+    key).  read_out is the pre-write value (replicated); new_data keeps
+    the input's strided row sharding.  The dp axis (if > 1) computes
+    replicas."""
+    ctx = get_ntt_context(params.n, params.primes)
+    _check_shardable(params)
+    r = mesh.shape["rows"]
+    assert params.num_rows % r == 0
+    fn = jax.shard_map(
+        lambda d, cp, cc, w, k: _sharded_rmw_body(params, ctx, r, d, cp,
+                                                  cc, w, k),
+        mesh=mesh,
+        in_specs=(P(None, "rows"), P(), P(), P(), P()),
+        out_specs=(P(), P(None, "rows")),
+        check_vma=False,
+    )
+    return jax.jit(fn, donate_argnums=(0,))
+
+
+def sharded_rpw_fn(params: Params, mesh: Mesh):
+    """Jitted read_prepare_write over row-sharded RAM: returns
+    (read_out, tree_root) -- the data shard is carried EXACTLY
+    (exact-data-carry write, ram.rpw_impl), so it is not returned; pass
+    the same placed data plus the root to sharded_write_fn.  The root
+    is the packed+selected tree top [W, 1, C, L, N] (replicated), full
+    gadget; read_out runs the READ truncation like ram.rpw_impl."""
+    ctx = get_ntt_context(params.n, params.primes)
+    _check_shardable(params)
+    r = mesh.shape["rows"]
+    assert params.num_rows % r == 0
+
+    def body(data, coords, atk):
+        root = _sharded_rpw_fwd(params, ctx, r, data, coords, atk)
+        out = keyswitch.trace(params, ctx, root, atk,
+                              trunc=params.read_ks_trunc)
+        return out, root[:, None]
+
+    fn = jax.shard_map(body, mesh=mesh,
+                       in_specs=(P(None, "rows"), P(), P()),
+                       out_specs=(P(), P()), check_vma=False)
+    return jax.jit(fn)
+
+
+def sharded_write_fn(params: Params, mesh: Mesh):
+    """Jitted write over row-sharded RAM, consuming sharded_rpw_fn's
+    root: fn(data, root, w, coords_coeff, keys) -> new_data (strided
+    row sharding preserved).  Matches ram.write_impl: root trace at the
+    RPW truncation, delta walk down to the local rows."""
+    ctx = get_ntt_context(params.n, params.primes)
+    _check_shardable(params)
+    r = mesh.shape["rows"]
+    assert params.num_rows % r == 0
+
+    def body(data, root, w, coords_coeff, keys):
+        from ..ops import limb as limb_ops
+
+        t = keyswitch.trace(params, ctx, root[:, 0], keys.atk_glwe,
+                            trunc=params.rpw_ks_trunc)
+        delta = limb_ops.normalize(w - t)[:, None]
+        return _sharded_delta_walk(params, ctx, r, data, delta,
+                                   coords_coeff, keys)
+
+    fn = jax.shard_map(body, mesh=mesh,
+                       in_specs=(P(None, "rows"), P(), P(), P(), P()),
+                       out_specs=P(None, "rows"), check_vma=False)
+    return jax.jit(fn, donate_argnums=(0,))
 
 
 def sharded_spectral_cache_fn(params: Params, mesh: Mesh):

@@ -52,6 +52,7 @@ def main():
     }
 
     def check(name, lowered, limit_gib=12):
+        """limit_gib=None: report-only (no fit assertion)."""
         print(f"[{name}] lowered ok (partitioning valid)", flush=True)
         compiled = lowered.compile()
         ma = compiled.memory_analysis()
@@ -64,6 +65,9 @@ def main():
         total = (ma.argument_size_in_bytes + ma.output_size_in_bytes
                  + ma.temp_size_in_bytes)
         print(f"  total:     {total / gib:.2f} GiB", flush=True)
+        if limit_gib is None:
+            print(f"DRYRUN 2^24 {name}: REPORTED (no fit bound)", flush=True)
+            return
         # v5e HBM = 16 GiB; require comfortable fit
         assert total < limit_gib * gib, f"2^24 {name} would not fit a v5e chip"
         print(f"DRYRUN 2^24 {name}: OK", flush=True)
@@ -87,6 +91,51 @@ def main():
     fnb = mesh_mod.batched_read_fn(par, m2)
     check("BATCHED B=8 (dp=2 x rows=4)", fnb.lower(data, coords_b, atk),
           limit_gib=14)
+
+    # sharded RMW (round 5): the WRITE path partitioned over rows=8 --
+    # replicated root work + the split-tree extraction sharded by
+    # residue class + row-local inverse products (parallel/mesh.py).
+    from fhe_ram_tpu.core import keys as keys_mod
+
+    coords_c = tuple(
+        jax.ShapeDtypeStruct(
+            (len(b.bases), par.dnum_ct, C, C, par.limbs_ggsw, n), I32)
+        for b in par.base2d().rows)
+    w = jax.ShapeDtypeStruct((par.word_size, C, par.limbs_ct, n), I32)
+    keys_sd = keys_mod.EvaluationKeysPrepared(
+        atk_glwe=atk,
+        atk_ggsw={-1: jax.ShapeDtypeStruct(
+            (P, par.dnum_ggsw, par.rank, C, par.limbs_evk_ggsw, n), I32)},
+        tsk=jax.ShapeDtypeStruct(
+            (P, par.rank, par.dnum_ggsw, C, C, par.limbs_evk_ggsw, n), I32))
+    frmw = mesh_mod.sharded_rmw_fn(par, m)
+    check("SHARDED RMW (rows=8)",
+          frmw.lower(data, coords, coords_c, w, keys_sd), limit_gib=14)
+
+    # batched RMW (single chip): 2^24 sits exactly at rmw_batch's
+    # geometry boundary (R == N, one pack chunk).  REPORT-ONLY: the
+    # composed CPU path's AOT temps (33 GiB at B=2) over-state the
+    # fused-kernel footprint by design (the batched B=8 READ above
+    # shows the same inflation), and at 2^24 several [B, W, R, C, L, N]
+    # tensors are inherently ~B x 1.6 GiB each -- batched RMW at 2^24
+    # is a sharded-RMW job (the rows=8 check above fits at 2.1 GiB),
+    # not a single-chip one.  Single-chip batched RMW targets <= 2^18.
+    from functools import partial
+
+    from fhe_ram_tpu.ops.ntt import get_ntt_context
+    from fhe_ram_tpu.ram import ram as ram_mod
+
+    Brmw = 2
+    ctx = get_ntt_context(par.n, par.primes)
+    cp_b = tuple(jax.ShapeDtypeStruct((Brmw,) + c.shape, I32)
+                 for c in coords)
+    cc_b = tuple(jax.ShapeDtypeStruct((Brmw,) + c.shape, I32)
+                 for c in coords_c)
+    w_b = jax.ShapeDtypeStruct((Brmw,) + w.shape, I32)
+    frb = jax.jit(partial(ram_mod.rmw_batch_impl, par, ctx),
+                  donate_argnums=(0,))
+    check(f"BATCHED RMW B={Brmw} (1 device)",
+          frb.lower(data, cp_b, cc_b, w_b, keys_sd), limit_gib=None)
 
 
 if __name__ == "__main__":

@@ -62,3 +62,80 @@ def test_sharded_read_with_ring_collective(monkeypatch):
     fn_ring = mesh_mod.sharded_read_fn(PAR, m)
     got = np.asarray(fn_ring(data_sh, ap.coordinates, atk_sh))
     assert np.array_equal(got, want)
+
+    # FHERAM_RING_AG=2: merge-interleaved exchange tail (round 5)
+    monkeypatch.setattr(collective, "USE_RING_AG", False)
+    monkeypatch.setattr(collective, "RING_AG_MODE", "2")
+    fn_mx = mesh_mod.sharded_read_fn(PAR, m)
+    got2 = np.asarray(fn_mx(data_sh, ap.coordinates, atk_sh))
+    assert np.array_equal(got2, want)
+
+
+@pytest.mark.parametrize("r", [2, 4, 8])
+def test_exchange_matches_ppermute(r):
+    """The Pallas partner exchange (FHERAM_RING_AG=2 primitive) is
+    bit-exact vs lax.ppermute at every XOR stride."""
+    mesh = jax.make_mesh((r,), ("x",))
+    rnd = np.random.default_rng(5)
+    x = jnp.asarray(rnd.integers(-(1 << 20), 1 << 20, size=(r, 4, 256)),
+                    jnp.int32)
+    s = 1
+    while s < r:
+        got = np.asarray(jax.jit(jax.shard_map(
+            lambda v, s=s: collective.exchange(v[0], "x", s, r,
+                                               interpret=True)[None],
+            mesh=mesh, in_specs=P("x"), out_specs=P("x"),
+            check_vma=False))(x))
+        perm = [(i, i ^ s) for i in range(r)]
+        want = np.asarray(jax.jit(jax.shard_map(
+            lambda v, perm=tuple(perm): jax.lax.ppermute(
+                v, "x", perm), mesh=mesh, in_specs=P("x"),
+            out_specs=P("x"), check_vma=False))(x))
+        assert np.array_equal(got, want), s
+        s <<= 1
+
+
+def test_merge_exchange_tail_matches_gathered_tail(monkeypatch):
+    """The recursive-doubling tail (mesh._merge_exchange_tail) produces
+    the SAME replicated pack root as all_gather + pack_tree on every
+    shard -- the merges are the same calls on the same operands, so the
+    equality is bit-exact.  8 shards = 3 interleaved rounds."""
+    from fhe_ram_tpu.params import PARAMS_TEST_SMALL as PAR
+    from fhe_ram_tpu.ops.ntt import get_ntt_context
+    from fhe_ram_tpu.core import keys, rng, packer
+
+    ctx = get_ntt_context(PAR.n, PAR.primes)
+    src = rng.Source(4)
+    sk = rng.ternary_secret(src.split(), PAR.rank, PAR.n, PAR.xs_density)
+    from fhe_ram_tpu.core import glwe
+    s_ntt = glwe.secret_prepare(ctx, sk)
+    ekp = keys.prepare(PAR, keys.keygen(PAR, sk, src))
+
+    r = 8
+    mesh = jax.make_mesh((r,), ("rows",))
+    rnd = np.random.default_rng(6)
+    # one pre-packed "local root" per shard (any ct values work: the
+    # equality is structural)
+    roots = jnp.asarray(rnd.integers(-(1 << 16), 1 << 16,
+                                     size=(r, 2, PAR.rank + 1,
+                                           PAR.limbs_ct, PAR.n)), jnp.int32)
+    atk = ekp.atk_glwe
+
+    def tail_mx(v):
+        return mesh_mod._merge_exchange_tail(PAR, ctx, v[0], atk, "rows", r)
+
+    def tail_ag(v):
+        nodes = jax.lax.all_gather(v[0], "rows")
+        return packer.pack_tree(PAR, ctx, nodes, atk, dilate=1,
+                                prescale=False)
+
+    got = np.asarray(jax.jit(jax.shard_map(
+        lambda v: tail_mx(v)[None], mesh=mesh, in_specs=P("rows"),
+        out_specs=P("rows"), check_vma=False))(roots))
+    want = np.asarray(jax.jit(jax.shard_map(
+        lambda v: tail_ag(v)[None], mesh=mesh, in_specs=P("rows"),
+        out_specs=P("rows"), check_vma=False))(roots))
+    # every shard must hold the identical global root
+    assert np.array_equal(got, want)
+    for k in range(1, r):
+        assert np.array_equal(got[k], got[0])

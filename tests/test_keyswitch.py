@@ -100,6 +100,29 @@ def test_extract_slots_bounded_support():
         assert np.array_equal(got, want), (m, got[:8])
 
 
+def test_extract_slots_dilated():
+    """The strided-shard extraction (dilate/residue, round 5): for every
+    residue class the dilated output is BIT-EXACT the strided slice of
+    the full extraction -- both with and without bounded_support, and at
+    log2(dilate) == ceil(log2(count)) (the select-after-loop edge)."""
+    src, sk, s_ntt, ekp = setup()
+    vals = np.zeros(PAR.n, dtype=np.int64)
+    count = 8
+    vals[:count] = [3, -4, 1, 2, -1, 0, 4, -3]
+    ct = enc(src, s_ntt, vals)
+    for bounded in (False, True):
+        full = keyswitch.extract_slots(PAR, CTX, ct, count, ekp.atk_glwe,
+                                       bounded_support=bounded)
+        for d in (2, 4, 8):  # 8 == 2^s: select runs after the loop
+            for k in range(d):
+                part = keyswitch.extract_slots(
+                    PAR, CTX, ct, count, ekp.atk_glwe,
+                    bounded_support=bounded, dilate=d,
+                    residue=jnp.int32(k))
+                assert np.array_equal(np.asarray(part),
+                                      np.asarray(full[k::d])), (bounded, d, k)
+
+
 def test_trace_noise():
     src, sk, s_ntt, ekp = setup()
     vals = np.zeros(PAR.n, dtype=np.int64)

@@ -42,24 +42,20 @@ def pallas_world():
     src = rng.Source(23)
     sk = rng.ternary_secret(src.split(), PAR.rank, PAR.n, PAR.xs_density)
     s_ntt = glwe.secret_prepare(ctx, sk)
-    atk_coeff = {
-        g: keyswitch.automorphism_key_encrypt(
-            PAR, ctx, sk, s_ntt, g, src,
-            dnum=PAR.dnum_ct, limbs=PAR.limbs_evk_trace)
-        for g in PAR.trace_gal_els
-    }
+    ek_coeff = keys_mod.keygen(PAR, sk, src)  # full set: write needs tsk
     rnd = np.random.default_rng(9)
     data = rnd.integers(0, 256, size=PAR.max_addr * PAR.word_size).astype(np.uint8)
     ram_ct = ram_mod.encrypt_ram(PAR, ctx, s_ntt, data, src)
     idxs = [5, PAR.n + 17]  # one per RAM row
     addrs = [address_mod.encrypt(PAR, ctx, s_ntt, i, src) for i in idxs]
+    w_ct = ram_mod.encrypt_write_word(PAR, ctx, s_ntt, [177], src)
 
     ntt_mod.set_backend("pallas")
     ntt_pallas._INTERPRET = True
     try:
-        atk = {g: keyswitch.key_prepare(ctx, k) for g, k in atk_coeff.items()}
+        ekp = keys_mod.prepare(PAR, ek_coeff)
         aps = [address_mod.prepare(ctx, a) for a in addrs]
-        yield ctx, s_ntt, data, ram_ct, atk, idxs, aps
+        yield ctx, s_ntt, data, ram_ct, ekp, idxs, aps, addrs, w_ct
     finally:
         ntt_pallas._INTERPRET = False
         ntt_mod.set_backend("butterfly")
@@ -84,24 +80,48 @@ def _decode_check(ctx, s_ntt, data, out, idx):
 
 
 def test_row_sharded_fused_read_interpret(pallas_world):
-    ctx, s_ntt, data, ram_ct, atk, idxs, aps = pallas_world
+    ctx, s_ntt, data, ram_ct, ekp, idxs, aps, addrs, w_ct = pallas_world
     mesh = mesh_mod.make_mesh(2, rows=2)
     fn = mesh_mod.sharded_read_fn(PAR, mesh)
     data_sh = mesh_mod.shard_data_rows(mesh, ram_ct)
-    atk_sh = jax.device_put(atk, mesh_mod.replicated(mesh))
+    atk_sh = jax.device_put(ekp.atk_glwe, mesh_mod.replicated(mesh))
     out = np.asarray(fn(data_sh, aps[0].coordinates, atk_sh))
     _decode_check(ctx, s_ntt, data, out, idxs[0])
 
 
 def test_batched_sharded_fused_read_interpret(pallas_world):
-    ctx, s_ntt, data, ram_ct, atk, idxs, aps = pallas_world
+    ctx, s_ntt, data, ram_ct, ekp, idxs, aps, addrs, w_ct = pallas_world
     mesh = mesh_mod.make_mesh(4, rows=2)  # dp=2 x rows=2
     coords = mesh_mod.stack_addresses(aps)
     fn = mesh_mod.batched_read_fn(PAR, mesh)
     out = np.asarray(fn(
         mesh_mod.shard_data_rows(mesh, ram_ct),
         mesh_mod.shard_addr_batch(mesh, coords),
-        jax.device_put(atk, mesh_mod.replicated(mesh)),
+        jax.device_put(ekp.atk_glwe, mesh_mod.replicated(mesh)),
     ))
     for b, idx in enumerate(idxs):
         _decode_check(ctx, s_ntt, data, out[b], idx)
+
+
+def test_row_sharded_fused_rmw_interpret(pallas_world):
+    """The sharded WRITE path under Pallas partitioning (round 5): one
+    full RMW with the production fused kernels per shard in interpret
+    mode -- the read-out decodes to the pre-write value and a read of
+    the new data returns the written word.  R == n_shards here, so the
+    extraction's select-after-loop edge (log2(dilate) == s) runs."""
+    ctx, s_ntt, data, ram_ct, ekp, idxs, aps, addrs, w_ct = pallas_world
+    mesh = mesh_mod.make_mesh(2, rows=2)
+    rep = mesh_mod.replicated(mesh)
+    idx = idxs[1]
+    out, nd = mesh_mod.sharded_rmw_fn(PAR, mesh)(
+        mesh_mod.shard_data_rows(mesh, ram_ct),
+        jax.device_put(aps[1].coordinates, rep),
+        jax.device_put(addrs[1].coordinates, rep),
+        jax.device_put(w_ct, rep),
+        jax.device_put(ekp, rep))
+    _decode_check(ctx, s_ntt, data, np.asarray(out), idx)
+
+    out2 = np.asarray(mesh_mod.sharded_read_fn(PAR, mesh)(
+        nd, aps[1].coordinates,
+        jax.device_put(ekp.atk_glwe, rep)))
+    _decode_check(ctx, s_ntt, np.asarray([177], np.uint8), out2, 0)

@@ -81,3 +81,87 @@ def test_sharded_read_decrypts_correctly(world):
             val, noise = glwe.decode_coeff0(PAR, np.asarray(ph), want)
             assert int(val) == want
             assert noise < -(PAR.k_pt + 1)
+
+
+# --------------------------------------------------------------------------
+# sharded write / RMW (round 5): the delta walk at shard-local rows
+# --------------------------------------------------------------------------
+
+def _unpermute_rows(mesh, data_sh):
+    """Invert shard_data_rows' strided row placement."""
+    r = mesh.shape["rows"]
+    perm = mesh_mod.row_shard_perm(PAR.num_rows, r)
+    return np.asarray(data_sh)[:, np.argsort(perm)]
+
+
+def _decode_word(ctx, s_ntt, out, want_bytes):
+    for i in range(PAR.word_size):
+        want = glwe.cast_u8_signed(int(want_bytes[i]), PAR.k_pt)
+        ph = glwe.phase(PAR, ctx, s_ntt, jnp.asarray(np.asarray(out)[i]))
+        val, noise = glwe.decode_coeff0(PAR, np.asarray(ph), want)
+        assert int(val) == want, (i, val, want)
+        assert noise < -(PAR.k_pt + 1), (i, noise)
+
+
+def test_sharded_rmw_matches_single(world):
+    """sharded_rmw_fn's new data is BIT-EXACT vs the single-chip
+    rpw_impl + write_impl pipeline (after un-permuting the strided row
+    placement), and the read-out decodes to the pre-write value."""
+    ctx, s_ntt, ekp, data, ram_ct, idxs, aps = world
+    src = rng.Source(77)
+    idx = 42
+    addr = address_mod.encrypt(PAR, ctx, s_ntt, idx, src)
+    ap = address_mod.prepare(ctx, addr)
+    new_word = [7, 250]
+    w = ram_mod.encrypt_write_word(PAR, ctx, s_ntt, new_word, src)
+
+    mesh = mesh_mod.make_mesh(8, rows=4)
+    rep = mesh_mod.replicated(mesh)
+    fn = mesh_mod.sharded_rmw_fn(PAR, mesh)
+    out, nd = fn(mesh_mod.shard_data_rows(mesh, ram_ct),
+                 jax.device_put(ap.coordinates, rep),
+                 jax.device_put(addr.coordinates, rep),
+                 jax.device_put(w, rep),
+                 jax.device_put(ekp, rep))
+    nd = _unpermute_rows(mesh, nd)
+
+    o1, d1, tree = ram_mod.rpw_impl(PAR, ctx, ram_ct, ap.coordinates,
+                                    ekp.atk_glwe)
+    d2 = ram_mod.write_impl(PAR, ctx, d1, tree, w, addr.coordinates, ekp)
+    assert np.array_equal(nd, np.asarray(d2))
+    _decode_word(ctx, s_ntt, out, data[idx * PAR.word_size:
+                                       (idx + 1) * PAR.word_size])
+    # read back the written word through the sharded new data
+    server = ram_mod.FheRam(PAR, ekp)
+    out2 = server.read(server.init_state(jnp.asarray(nd)), ap)
+    _decode_word(ctx, s_ntt, out2, new_word)
+
+
+def test_sharded_rpw_write_pair_matches(world):
+    """sharded_rpw_fn + sharded_write_fn reproduce rpw_impl/write_impl
+    bit-exactly (read-out, tree root, and written data)."""
+    ctx, s_ntt, ekp, data, ram_ct, idxs, aps = world
+    src = rng.Source(78)
+    idx = 200
+    addr = address_mod.encrypt(PAR, ctx, s_ntt, idx, src)
+    ap = address_mod.prepare(ctx, addr)
+    w = ram_mod.encrypt_write_word(PAR, ctx, s_ntt, [1, 2], src)
+
+    mesh = mesh_mod.make_mesh(8, rows=2)
+    rep = mesh_mod.replicated(mesh)
+    atk_sh = jax.device_put(ekp.atk_glwe, rep)
+    out, root = mesh_mod.sharded_rpw_fn(PAR, mesh)(
+        mesh_mod.shard_data_rows(mesh, ram_ct),
+        jax.device_put(ap.coordinates, rep), atk_sh)
+    o1, d1, tree = ram_mod.rpw_impl(PAR, ctx, ram_ct, ap.coordinates,
+                                    ekp.atk_glwe)
+    assert np.array_equal(np.asarray(out), np.asarray(o1))
+    assert np.array_equal(np.asarray(root), np.asarray(tree[-1]))
+
+    nd = mesh_mod.sharded_write_fn(PAR, mesh)(
+        mesh_mod.shard_data_rows(mesh, ram_ct), root,
+        jax.device_put(w, rep),
+        jax.device_put(addr.coordinates, rep),
+        jax.device_put(ekp, rep))
+    d2 = ram_mod.write_impl(PAR, ctx, d1, tree, w, addr.coordinates, ekp)
+    assert np.array_equal(_unpermute_rows(mesh, nd), np.asarray(d2))
