@@ -223,6 +223,39 @@ def read_noise_log2(params: Params) -> float:
     return bound_log2(var, det)
 
 
+def vm_trunc_added_log2(params: Params, bits: int = 32) -> float:
+    """Analytic bound on the EXTRA noise one VM word accumulates when
+    its circuit runs under the read-path gadget truncation
+    (vm/arithmetic._vm_trunc): the delta between truncated and
+    full-gadget per-call noise, summed over the deepest per-word chain.
+
+    Chain counted (worst of the three op groups, vm/arithmetic.py):
+    2*bits keyed CMuxes (the carry-DP walks two per bit; the shift
+    barrel's extraction + log2(bits) levels is shorter), plus ONE
+    extraction trace whose per-step keyswitch-truncation delta
+    amplifies coherently like any trace (4^log_n/3).
+
+    This prices the truncation for ANY preset -- _vm_trunc asserts the
+    result stays below the bit-decode bound instead of relying on a
+    constant-folded ~2^-60 rationale valid only for today's presets."""
+    L = params.limbs_ct
+    Lg = params.limbs_ggsw
+    ep_d, ep_k = params.read_ep_trunc
+    ep_d = ep_d if ep_d is not None else L
+    ep_kl = ep_k if ep_k is not None else Lg
+    c = params.rank + 1
+    # per-CMux extra variance: dropped digit tail + dropped key limbs
+    d_ep = 0.0
+    if ep_d < L:
+        d_ep += var_digit_trunc(params, ep_d, L, c)
+    d_ep += c * ep_d * params.n * var_digit() * var_key_trunc(ep_kl, Lg)
+    # per-trace-step extra keyswitch variance, amplified coherently
+    d_ks = (_ks_var_for(params, L, params.read_ks_trunc)
+            - _ks_var_for(params, L, (None, None)))
+    var = 2 * bits * d_ep + (4.0 ** params.log_n / 3.0) * d_ks
+    return bound_log2(var)
+
+
 def write_cycle_added_var(params: Params) -> tuple[float, float]:
     """(variance, deterministic) noise ADDED to one base-level data row
     by one full read_prepare_write + write cycle (ram/ram.py).
@@ -280,13 +313,15 @@ def write_cycle_added_var(params: Params) -> tuple[float, float]:
     var_delta, det_delta = trace_noise(
         params, var_root + var_fresh(params, L), L, det_in=det_root,
         trunc=kst_r)
-    # the delta passes the mid-level CMux chains with inverse coordinates
+    # each mid level passes the delta through its inverse-coordinate
+    # CMux chain and then ONE split-tree extraction (write_impl runs one
+    # extract_slots per level of n2[1:], innermost level last)
     for base1d in n2[1:]:
         for _ in base1d.bases:
             var_delta = var_external_product(params, L, var_row_inv, L,
                                              var_delta)
-    # split-tree extraction
-    var_delta, det_delta = trace_noise(params, var_delta, L, det_in=det_delta)
+        var_delta, det_delta = trace_noise(params, var_delta, L,
+                                           det_in=det_delta)
     # final inverse chain applied to the delta rows
     var = var_delta
     for _ in n2[0].bases:

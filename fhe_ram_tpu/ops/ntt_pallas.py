@@ -1745,6 +1745,136 @@ def fused_split_pallas(ctx: NTTPallasContext, ct, t_rot: int, g: int,
     return (o0[:nb].reshape(nb, C2, L, n), o1[:nb].reshape(nb, C2, L, n))
 
 
+def _split_tree_kernel_factory(primes, rank: int, L: int, Lk: int, S: int,
+                               aperms, rbacks, base2k: int = 17):
+    """The WHOLE s-level split tree (core/keyswitch.extract_slots) in
+    one kernel: level si keyswitches its R = 2^si parent nodes held in
+    VMEM scratch and writes 2R children back (state doubles per grid
+    step -- the fused_pack_tree_pallas pattern in reverse).  Children
+    keep the extract_slots concat layout: [child0s | child1s], so node
+    index == slot-index low bits.  aperms/rbacks: per-level static
+    _TilePerm descriptors (sigma_g and the X^-2^l back-rotation)."""
+    P = len(primes)
+    C2 = rank + 1
+    T = rank * L
+    M = C2 * Lk
+    nperm = [len(a.inputs()) + len(r.inputs())
+             for a, r in zip(aperms, rbacks)]
+
+    def kernel(*refs):
+        x_ref, k_ref = refs[:2]
+        pref = refs[2 : 2 + sum(nperm)]
+        cdig_ref, rdig_ref, ew_ref, o_ref, st_ref = refs[2 + sum(nperm) :]
+        s = pl.program_id(1)
+
+        off = 0
+        for si in range(S):
+            my_perm = pref[off : off + nperm[si]]
+            off += nperm[si]
+
+            @pl.when(s == si)
+            def _(si=si, my_perm=my_perm):
+                R = 1 << si
+                X = x_ref[:, 0] if si == 0 else st_ref[:R]
+                it = iter(my_perm)
+                sv = aperms[si].apply(X, it)  # sigma_g(x), in-VMEM
+
+                Xrows, brows = [], []
+                for r in range(R):
+                    Xrows.append(sv[r, :rank].reshape(T, _SL, _LN))
+                    b = jnp.concatenate(
+                        [X[r, :rank], (X[r, rank] + sv[r, rank])[None]],
+                        axis=0)
+                    brows.append(b.reshape(C2 * L, _SL, _LN))
+                # child0 = normalize(x + KS(sigma_g x)) for every parent
+                c0 = jnp.stack(_vmp_rows_blocked(
+                    Xrows, brows, lambda p, t, m: k_ref[0, p, t, m],
+                    (cdig_ref, rdig_ref, ew_ref), primes, T, M, C2, Lk,
+                    L, base2k, sign=-1))  # [R, C2, L, SL, LN]
+                # child1 = normalize(X^-t (2x - child0))
+                d = rbacks[si].apply(2 * X - c0, it)
+                acc1 = [[d[:, c2i, l] for l in range(L)]
+                        for c2i in range(C2)]
+                zero = jnp.zeros_like(d[:, 0, 0])
+                c1 = jnp.stack(_carry_normalize(
+                    acc1, lambda c2i, l: None, 1, zero, base2k),
+                    axis=1).reshape(d.shape)
+
+                if si == S - 1:
+                    o_ref[0, :R] = c0
+                    o_ref[0, R : 2 * R] = c1
+                else:
+                    for r in range(R):
+                        st_ref[r] = c0[r]
+                        st_ref[R + r] = c1[r]
+
+    return kernel
+
+
+# max leaf count of the one-launch split tree: the 2^S-node scratch
+# must fit VMEM next to the step key + spectra blocks (64 nodes at the
+# production shape = 6.3 MB scratch)
+_SPLIT_TREE_MAX = 64
+_USE_SPLIT_TREE = os.environ.get("FHERAM_SPLIT_TREE", "0") == "1"
+
+
+def fused_split_tree_pallas(ctx: NTTPallasContext, ct, gal_els,
+                            keys_stacked, interpret: bool = False):
+    """All S split-tree levels of extract_slots in ONE kernel launch
+    (vs one fused_split_pallas launch per level; reference counterpart:
+    the per-slot extraction loop src/ram.rs:612-630).
+
+    ct: int32[nb, C2, L, N] pre-scaled normalized roots; gal_els: the S
+    per-level galois elements (level l pairs slots differing in bit l:
+    g = N/2^l + 1, back-rotation X^-2^l); keys_stacked:
+    int32[S, P, T, M, N] prepared automorphism keys in level order.
+    Returns int32[nb, 2^S, C2, L, N] -- node j of batch column b is the
+    extract_slots leaf for slot j, bit-exact vs the per-level path."""
+    assert _USE_MXU, "fused split tree requires the MXU kernel family"
+    n = ctx.n
+    nb, C2, L, n_ = ct.shape
+    S, P, T, M, n3 = keys_stacked.shape
+    rank = C2 - 1
+    assert n_ == n and n3 == n and T == rank * L and M % C2 == 0
+    assert S == len(gal_els) and 1 <= S and (1 << S) <= _SPLIT_TREE_MAX
+    Lk = M // C2
+
+    x = ct.reshape(nb, 1, C2, L, _SL, _LN)
+    k6 = keys_stacked.reshape(S, P, T, M, _SL, _LN)
+    aperms, rbacks, ptabs = [], [], []
+    for l in range(S):
+        ap = _TilePerm(n, gal_els[l], 0)
+        rb = _TilePerm(n, 1, (2 * n - (1 << l)) % (2 * n))
+        aperms.append(ap)
+        rbacks.append(rb)
+        ptabs += [jnp.asarray(v) for v in ap.inputs() + rb.inputs()]
+    cdig, rdig, ew = _mxu_tables(ctx)
+
+    in_specs = [
+        pl.BlockSpec((1, 1, C2, L, _SL, _LN), lambda b, s: (b, 0, 0, 0, 0, 0)),
+        pl.BlockSpec((1, P, T, M, _SL, _LN),
+                     lambda b, s: (s, 0, 0, 0, 0, 0)),
+        *[pl.BlockSpec(v.shape, (lambda b, s, _nd=v.ndim: (0,) * _nd))
+          for v in ptabs],
+        pl.BlockSpec((P, 2, 3, _SL, _SL), lambda b, s: (0, 0, 0, 0, 0)),
+        pl.BlockSpec((P, 2, 3, _LN, _LN), lambda b, s: (0, 0, 0, 0, 0)),
+        pl.BlockSpec((P, 2, _SL, _LN), lambda b, s: (0, 0, 0, 0)),
+    ]
+    out = pl.pallas_call(
+        _split_tree_kernel_factory(ctx.primes, rank, L, Lk, S, aperms,
+                                   rbacks),
+        grid=(nb, S),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1 << S, C2, L, _SL, _LN),
+                               lambda b, s: (b, 0, 0, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((nb, 1 << S, C2, L, _SL, _LN), I32),
+        scratch_shapes=[pltpu.VMEM((1 << max(S - 1, 0), C2, L, _SL, _LN),
+                                   I32)],
+        interpret=interpret or _INTERPRET,
+    )(x, k6, *ptabs, cdig, rdig, ew)
+    return out.reshape(nb, 1 << S, C2, L, n)
+
+
 def _pack_tree_kernel_factory(primes, rank: int, L: int, Lk: int, M: int,
                               rperms, aperms, base2k: int = 17):
     """The WHOLE log-depth pack tree in one kernel: level s merges
@@ -1944,11 +2074,15 @@ def _dp_leaf_tables(emit: bool, subtab: bool, flip: bool, a: int, c: int,
 
 def _dp_chain_kernel_factory(primes, G: int, C2: int, L: int, Lk: int,
                              bits: int, groups, op_tables,
-                             base2k: int = 17):
+                             base2k: int = 17, in_digits: int | None = None):
     """groups: tuple of tuples of op indices (one per b-operand source);
-    op_tables[gi] = (emit, subtab, flip) static circuit spec per op."""
+    op_tables[gi] = (emit, subtab, flip) static circuit spec per op.
+    in_digits: decompose only the top in_digits limbs of each VMP row
+    (ephemeral-word gadget truncation, vm/arithmetic._vm_trunc); the
+    base rows and the VMEM state stay full-precision."""
     P = len(primes)
-    T = C2 * L          # external product consumes ALL ct components
+    Td = in_digits if in_digits is not None else L
+    T = C2 * Td         # external product consumes ALL ct components
     M = C2 * Lk
     NG = len(groups)
 
@@ -1997,7 +2131,7 @@ def _dp_chain_kernel_factory(primes, G: int, C2: int, L: int, Lk: int,
                                            variants[0][1])
                         else:
                             x, b_ = variants[0]
-                        Xrows.append(x.reshape(T, _SL, _LN))
+                        Xrows.append(x[:, :Td].reshape(T, _SL, _LN))
                         brows.append(b_.reshape(C2 * L, _SL, _LN))
                         sinks.append((gi, rc))
                 for (gi, rc), res in zip(sinks, vmp_rows(Xrows, brows)):
@@ -2013,7 +2147,7 @@ def _dp_chain_kernel_factory(primes, G: int, C2: int, L: int, Lk: int,
                 for c in (0, 1):
                     hi = inner[gi, 2 + c]   # inner row order: (a, c)
                     lo = inner[gi, c]
-                    Xrows.append((hi - lo).reshape(T, _SL, _LN))
+                    Xrows.append((hi - lo)[:, :Td].reshape(T, _SL, _LN))
                     brows.append(lo.reshape(C2 * L, _SL, _LN))
             res = vmp_rows(Xrows, brows)
             for gi in range(G):
@@ -2028,14 +2162,18 @@ def _dp_chain_kernel_factory(primes, G: int, C2: int, L: int, Lk: int,
 
 
 def _bitwise_kernel_factory(primes, G: int, C2: int, L: int, Lk: int,
-                            groups, base2k: int = 17):
+                            groups, base2k: int = 17,
+                            in_digits: int | None = None):
     """Per-bit truth-table select (vm/arithmetic._bitwise_group): for
     every word bit j (independent chains, unlike the carry DP):
     phase si: inner[gi] = (CMux(b_j; l11, l10), CMux(b_j; l01, l00));
     final phase: out[gi] = CMux(a_j; inner_hi, inner_lo).  Leaves are
-    constant trivial words; grid (W, NG+1) streams one key per step."""
+    constant trivial words; grid (W, NG+1) streams one key per step.
+    in_digits: top-limb gadget truncation of the VMP rows (see
+    _dp_chain_kernel_factory)."""
     P = len(primes)
-    T = C2 * L
+    Td = in_digits if in_digits is not None else L
+    T = C2 * Td
     M = C2 * Lk
     NG = len(groups)
 
@@ -2057,8 +2195,9 @@ def _bitwise_kernel_factory(primes, G: int, C2: int, L: int, Lk: int,
                 Xrows, brows, sinks = [], [], []
                 for gi in groups[si]:
                     for rc in (0, 1):
-                        Xrows.append((hi[gi, rc] - lo[gi, rc]).reshape(
-                            T, _SL, _LN))
+                        Xrows.append(
+                            (hi[gi, rc] - lo[gi, rc])[:, :Td].reshape(
+                                T, _SL, _LN))
                         brows.append(lo[gi, rc].reshape(C2 * L, _SL, _LN))
                         sinks.append((gi, rc))
                 for (gi, rc), res in zip(sinks, vmp_rows(Xrows, brows)):
@@ -2069,7 +2208,7 @@ def _bitwise_kernel_factory(primes, G: int, C2: int, L: int, Lk: int,
             inner = inner_ref[...]
             Xrows, brows = [], []
             for gi in range(G):
-                Xrows.append((inner[gi, 0] - inner[gi, 1]).reshape(
+                Xrows.append((inner[gi, 0] - inner[gi, 1])[:, :Td].reshape(
                     T, _SL, _LN))
                 brows.append(inner[gi, 1].reshape(C2 * L, _SL, _LN))
             res = vmp_rows(Xrows, brows)
@@ -2094,7 +2233,9 @@ def fused_bitwise_pallas(ctx: NTTPallasContext, leaves_hi, leaves_lo,
     G, two, C2, L, n_ = leaves_hi.shape
     W, NGp1, P, T, M, n3 = keys_stacked.shape
     assert two == 2 and n_ == n and n3 == n
-    assert T == C2 * L and M % C2 == 0 and NGp1 == len(groups) + 1
+    assert T % C2 == 0 and M % C2 == 0 and NGp1 == len(groups) + 1
+    Td = T // C2  # < L under ephemeral-word gadget truncation
+    assert Td <= L
     assert sorted(gi for g in groups for gi in g) == list(range(G))
     Lk = M // C2
 
@@ -2114,7 +2255,8 @@ def fused_bitwise_pallas(ctx: NTTPallasContext, leaves_hi, leaves_lo,
         pl.BlockSpec((P, 2, _SL, _LN), lambda j, s: (0, 0, 0, 0)),
     ]
     out = pl.pallas_call(
-        _bitwise_kernel_factory(ctx.primes, G, C2, L, Lk, groups),
+        _bitwise_kernel_factory(ctx.primes, G, C2, L, Lk, groups,
+                                in_digits=Td),
         grid=(W, NGp1),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, G, C2, L, _SL, _LN),
@@ -2127,12 +2269,15 @@ def fused_bitwise_pallas(ctx: NTTPallasContext, leaves_hi, leaves_lo,
 
 
 def _brot_kernel_factory(primes, C2: int, Lc: int, Lk: int, S: int,
-                         base2k: int = 17):
+                         base2k: int = 17, in_digits: int | None = None):
     """Blind-rotation CMux chain: per step s,
     rows <- normalize(rows + conv(X^t_s rows - rows, GGSW_s)), the
-    rotation applied in-VMEM via the signed permutation tables."""
+    rotation applied in-VMEM via the signed permutation tables.
+    in_digits: top-limb gadget truncation of the VMP rows (see
+    _dp_chain_kernel_factory)."""
     P = len(primes)
-    T = C2 * Lc
+    Td = in_digits if in_digits is not None else Lc
+    T = C2 * Td
     M = C2 * Lk
 
     def kernel(x_ref, k_ref, pl_ref, ps_ref, wm_ref, sg_ref,
@@ -2148,7 +2293,7 @@ def _brot_kernel_factory(primes, C2: int, Lc: int, Lk: int, S: int,
         ip = [np.float32(1.0 / q) for q in primes]
 
         rot = _perm_apply(ct, pl_ref[0], ps_ref[0], wm_ref[0], sg_ref[0])
-        digs = (rot - ct).reshape(ct.shape[0], T, _SL, _LN)
+        digs = (rot - ct)[:, :, :Td].reshape(ct.shape[0], T, _SL, _LN)
         specs = [_fwd_tile_mxu(digs, cdig_ref[p], rdig_ref[p], ew_ref[p],
                                pp[p], ip[p]) for p in range(P)]
 
@@ -2189,7 +2334,9 @@ def fused_blind_rotate_pallas(ctx: NTTPallasContext, rows, keys_stacked,
     n = ctx.n
     B, C2, Lc, n_ = rows.shape
     S, P, T, M, n3 = keys_stacked.shape
-    assert n_ == n and n3 == n and T == C2 * Lc and M % C2 == 0
+    assert n_ == n and n3 == n and T % C2 == 0 and M % C2 == 0
+    Td = T // C2  # < Lc under ephemeral-word gadget truncation
+    assert Td <= Lc
     assert len(amounts) == S and S >= 1
     Lk = M // C2
     TBT = min(tbt if tbt is not None else _TBT, B)
@@ -2215,7 +2362,7 @@ def fused_blind_rotate_pallas(ctx: NTTPallasContext, rows, keys_stacked,
         pl.BlockSpec((P, 2, _SL, _LN), lambda b, s: (0, 0, 0, 0)),
     ]
     out = pl.pallas_call(
-        _brot_kernel_factory(ctx.primes, C2, Lc, Lk, S),
+        _brot_kernel_factory(ctx.primes, C2, Lc, Lk, S, in_digits=Td),
         grid=(Bp // TBT, S),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((TBT, C2, Lc, _SL, _LN),
@@ -2244,7 +2391,9 @@ def fused_dp_chain_pallas(ctx: NTTPallasContext, F0, keys_stacked, deltas,
     G, two, C2, L, n_ = F0.shape
     bits, NGp1, P, T, M, n3 = keys_stacked.shape
     assert two == 2 and n_ == n and n3 == n
-    assert T == C2 * L and M % C2 == 0
+    assert T % C2 == 0 and M % C2 == 0
+    Td = T // C2  # < L under ephemeral-word gadget truncation
+    assert Td <= L
     assert NGp1 == len(groups) + 1
     assert sorted(gi for g in groups for gi in g) == list(range(G))
     Lk = M // C2
@@ -2267,7 +2416,7 @@ def fused_dp_chain_pallas(ctx: NTTPallasContext, F0, keys_stacked, deltas,
     ]
     out = pl.pallas_call(
         _dp_chain_kernel_factory(ctx.primes, G, C2, L, Lk, bits, groups,
-                                 op_tables),
+                                 op_tables, in_digits=Td),
         grid=(bits, NGp1),
         in_specs=in_specs,
         out_specs=st_spec,

@@ -80,7 +80,8 @@ def glwe_blind_rotation(params: Params, ctx: NTTContext, ct, prep_bits,
         sgn = -1 if negate else 1
         return circuits.blind_rotate_fused(
             params, ct[None], prep_bits, range(start, end),
-            [sgn << (k - start + lsh) for k in range(start, end)])[0]
+            [sgn << (k - start + lsh) for k in range(start, end)],
+            trunc=_vm_trunc(params)[0])[0]
 
     for k in range(start, end):
         amount = 1 << (k - start + lsh)
@@ -113,6 +114,7 @@ def _dp_group(params: Params, ctx: NTTContext, ops, rs1p, rs2p, immp,
 
     G = len(ops)
     specs = [_DP_SPECS[op] for op in ops]
+    ept = _vm_trunc(params, bits)[0]  # matches the fused chain's slicing
     F = jnp.stack([
         jnp.stack([fheuint.trivial_word(params, [sp[3](0)], bits),
                    fheuint.trivial_word(params, [sp[3](1)], bits)])
@@ -162,7 +164,7 @@ def _dp_group(params: Params, ctx: NTTContext, ops, rs1p, rs2p, immp,
             keys_b.append((immp if is_imm else rs2p)[:, j : j + 1])
         res = circuits.cmux_keyed(
             params, ctx, jnp.concatenate(keys_b, axis=1),
-            jnp.stack(hstack), jnp.stack(lstack))
+            jnp.stack(hstack), jnp.stack(lstack), trunc=ept)
         inner = [None] * G  # per op: [4, C, L, N] = states (a, c)
         for si, (is_imm, gis) in enumerate(groups):
             for idx, gi in enumerate(gis):
@@ -172,7 +174,8 @@ def _dp_group(params: Params, ctx: NTTContext, ops, rs1p, rs2p, immp,
         F = circuits.cmux_keyed(
             params, ctx, aj,
             inner[:, 2:].reshape((1, 2 * G) + inner.shape[2:]),
-            inner[:, :2].reshape((1, 2 * G) + inner.shape[2:]))[0]
+            inner[:, :2].reshape((1, 2 * G) + inner.shape[2:]),
+            trunc=ept)[0]
         F = F.reshape((G, 2) + F.shape[1:])
     return {op: F[gi, sp[4]] for gi, (op, sp) in enumerate(zip(ops, specs))}
 
@@ -196,12 +199,13 @@ def _dp_group_fused(params: Params, ctx: NTTContext, ops, rs1p, rs2p, immp,
     groups = tuple((is_imm, tuple(gis))
                    for is_imm, gis in _src_groups(ops).items())
 
+    ept = _vm_trunc(params, bits)[0]  # ephemeral-word gadget truncation
     steps, dsteps = [], []
     for d in range(bits):
         j = bits - 1 - d
-        ks = [circuits.ggsw_key_rows(immp if is_imm else rs2p, j)
+        ks = [circuits.ggsw_key_rows(immp if is_imm else rs2p, j, ept)
               for is_imm, _ in groups]
-        ks.append(circuits.ggsw_key_rows(rs1p, j))
+        ks.append(circuits.ggsw_key_rows(rs1p, j, ept))
         steps.append(jnp.stack(ks))
         dsteps.append(circuits._delta_slot(params, j, bits))
     keys_stacked = jnp.stack(steps)   # [bits, NG+1, P, T, M, N]
@@ -231,6 +235,7 @@ def _bitwise_group(params: Params, ctx: NTTContext, ops, rs1p, rs2p, immp,
 
     G = len(ops)
     W = bits
+    ept = _vm_trunc(params, bits)[0]  # matches the fused chain's slicing
 
     src_groups = _src_groups(ops)
 
@@ -248,13 +253,14 @@ def _bitwise_group(params: Params, ctx: NTTContext, ops, rs1p, rs2p, immp,
         lows = jnp.stack([leaf(gi, 2) for gi in gis]
                          + [leaf(gi, 0) for gi in gis], axis=1)
         keys = (immp if is_imm else rs2p)[:, :W]
-        res = circuits.cmux_keyed(params, ctx, keys, highs, lows)
+        res = circuits.cmux_keyed(params, ctx, keys, highs, lows, trunc=ept)
         for idx, gi in enumerate(gis):
             hi[gi] = res[:, idx]
             lo[gi] = res[:, len(gis) + idx]
     # a-level: rs1 bit j selects for all G ops at once
     out = circuits.cmux_keyed(params, ctx, rs1p[:, :W],
-                              jnp.stack(hi, axis=1), jnp.stack(lo, axis=1))
+                              jnp.stack(hi, axis=1), jnp.stack(lo, axis=1),
+                              trunc=ept)
     return {op: circuits.assemble_word(params, out[:, gi], bits)
             for gi, op in enumerate(ops)}
 
@@ -279,11 +285,12 @@ def _bitwise_group_fused(params: Params, ctx: NTTContext, ops, rs1p, rs2p,
                     for gi in range(G)])  # [G, 2, C2, L, N]
     lo = jnp.stack([jnp.stack([leaf(gi, 2), leaf(gi, 0)])
                     for gi in range(G)])
+    ept = _vm_trunc(params, bits)[0]  # ephemeral-word gadget truncation
     steps = []
     for j in range(W):
-        ks = [circuits.ggsw_key_rows(immp if is_imm else rs2p, j)
+        ks = [circuits.ggsw_key_rows(immp if is_imm else rs2p, j, ept)
               for is_imm, _ in groups_items]
-        ks.append(circuits.ggsw_key_rows(rs1p, j))
+        ks.append(circuits.ggsw_key_rows(rs1p, j, ept))
         steps.append(jnp.stack(ks))
     keys_stacked = jnp.stack(steps)  # [W, NG+1, P, T, M, N]
 
@@ -303,7 +310,7 @@ def _shift_group(params: Params, ctx: NTTContext, ops, rs1p, rs2p, immp,
     G = len(ops)
     W = bits
     logw = W.bit_length() - 1
-    ept, kst = _vm_trunc(params)
+    ept, kst = _vm_trunc(params, bits)
     word = circuits.word_from_bits(params, ctx, rs1p, bits)
     slots0 = circuits.extract_slots(params, ctx, word, atk, bits, trunc=kst)
     slots = jnp.broadcast_to(slots0, (G,) + slots0.shape)  # [G, W, C, L, N]
@@ -357,17 +364,33 @@ def _shift_group(params: Params, ctx: NTTContext, ops, rs1p, rs2p, immp,
             for gi, op in enumerate(ops)}
 
 
-# Ephemeral-word gadget truncation for the VM's GENERIC CMux/trace
-# calls (the shift barrel + its slot extraction): the per-op truncation
-# variance (~2^-60, BENCH_NOTES "round-5 lever") is negligible against
-# the 2^-(k_pt+1) bit-decode bound.  Uses the params' read-path fields
-# (same ephemeral rationale); FHERAM_VM_TRUNC=0 disables.
+# Ephemeral-word gadget truncation for the VM's CMux/trace calls (the
+# fused group chains, the shift barrel + its slot extraction): priced
+# per-params by core/noise.vm_trunc_added_log2 and asserted against the
+# bit-decode bound below -- a future preset with a more aggressive
+# read-path truncation fails loudly instead of silently tightening VM
+# precision.  Uses the params' read-path fields (same ephemeral-value
+# rationale); FHERAM_VM_TRUNC=0 disables.
 _VM_TRUNC = os.environ.get("FHERAM_VM_TRUNC", "1") == "1"
 
+# margin (bits) the truncation delta must keep below the decode bound:
+# the delta adds to (not replaces) the circuit's intrinsic noise
+_VM_TRUNC_MARGIN = 6.0
 
-def _vm_trunc(params):
+
+def _vm_trunc(params, bits: int = 32):
     if not _VM_TRUNC:
         return (None, None), (None, None)
+    if (params.read_ep_trunc, params.read_ks_trunc) != ((None, None),
+                                                        (None, None)):
+        from ..core import noise as noise_mod
+
+        added = noise_mod.vm_trunc_added_log2(params, bits)
+        decode = -(params.k_pt + 1)
+        assert added < decode - _VM_TRUNC_MARGIN, (
+            f"VM gadget truncation adds 2^{added:.1f} noise -- too close "
+            f"to the 2^{decode} bit-decode bound for this preset; set "
+            f"FHERAM_VM_TRUNC=0 or widen the read_* truncation fields")
     # read_ep_digits carries a wide-coordinate assert for ADDRESS use;
     # here the "digits" are plain ct limbs -- reuse the values directly
     return params.read_ep_trunc, params.read_ks_trunc

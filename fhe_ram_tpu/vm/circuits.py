@@ -64,25 +64,37 @@ def cmux_keyed(params: Params, ctx: NTTContext, bit_prep, high, low,
                                        base=low, trunc=trunc)
 
 
-def ggsw_key_rows(prep, j):
+def ggsw_key_rows(prep, j, trunc: tuple = (None, None)):
     """One prepared bit GGSW as VMP key rows: [P, W, D, C, C2, Lg, N]
     bit j -> [P, C*D, C2*Lg, N] (C-major digit rows, the layout
-    ggsw.external_product_batched feeds the fused kernels)."""
+    ggsw.external_product_batched feeds the fused kernels).
+
+    trunc = (in_digits, key_limbs): ephemeral-word gadget truncation
+    (vm/arithmetic._vm_trunc) -- keep the top in_digits gadget rows and
+    the top key_limbs GGSW limbs; the fused chain kernels derive their
+    truncated digit count from the key shape (T // C2)."""
+    in_digits, key_limbs = trunc
     pj = prep[:, j]
+    if in_digits is not None:
+        pj = pj[:, :in_digits]
+    if key_limbs is not None:
+        pj = pj[..., :key_limbs, :]
     P, D, C, C2, Lg, n = pj.shape
     return jnp.transpose(pj, (0, 2, 1, 3, 4, 5)).reshape(
         P, C * D, C2 * Lg, n)
 
 
 def blind_rotate_fused(params: Params, rows, prep_bits, bit_idxs, amounts,
-                       interpret: bool = False):
+                       interpret: bool = False,
+                       trunc: tuple = (None, None)):
     """A CMux rotation chain (rows <- CMux(bit_j; X^a_j rows, rows)) as
     ONE fused kernel launch; see ops/ntt_pallas.fused_blind_rotate_pallas.
     rows: [B, C2, Lc, N]; bit_idxs/amounts: per-step bit index into
-    prep_bits and static rotation exponent."""
+    prep_bits and static rotation exponent.  trunc: ephemeral-word
+    gadget truncation of the per-step CMuxes (ggsw_key_rows)."""
     from ..ops.ntt_pallas import get_pallas_context, fused_blind_rotate_pallas
 
-    keys = jnp.stack([ggsw_key_rows(prep_bits, j) for j in bit_idxs])
+    keys = jnp.stack([ggsw_key_rows(prep_bits, j, trunc) for j in bit_idxs])
     pctx = get_pallas_context(params.n, params.primes)
     return fused_blind_rotate_pallas(pctx, rows, keys, tuple(amounts),
                                      tbt=min(4, rows.shape[0]),

@@ -195,8 +195,9 @@ def test_fused_dp_chain_matches_composed(monkeypatch):
     monkeypatch.setattr(ntt_mod, "get_backend", lambda: "pallas")
     monkeypatch.setattr(
         circuits, "cmux_keyed",
-        lambda params, cctx, bp, h, l: ggsw.external_product_keyed(
-            params, cctx, h - l, bp, base=l, interpret=True))
+        lambda params, cctx, bp, h, l, trunc=(None, None):
+        ggsw.external_product_keyed(
+            params, cctx, h - l, bp, base=l, trunc=trunc, interpret=True))
     want = arithmetic._dp_group(par, ctx, ops, rs1p, rs2p, immp, bits)
 
     got = arithmetic._dp_group_fused(par, ctx, ops, rs1p, rs2p, immp, bits,
@@ -236,8 +237,9 @@ def test_fused_bitwise_matches_composed(monkeypatch):
     monkeypatch.setattr(ntt_mod, "get_backend", lambda: "pallas")
     monkeypatch.setattr(
         circuits, "cmux_keyed",
-        lambda params, cctx, bp, h, l: ggsw.external_product_keyed(
-            params, cctx, h - l, bp, base=l, interpret=True))
+        lambda params, cctx, bp, h, l, trunc=(None, None):
+        ggsw.external_product_keyed(
+            params, cctx, h - l, bp, base=l, trunc=trunc, interpret=True))
     want = arithmetic._bitwise_group(par, ctx, ops, rs1p, rs2p, immp, bits)
 
     got = arithmetic._bitwise_group_fused(par, ctx, ops, rs1p, rs2p, immp,
@@ -279,8 +281,9 @@ def test_fused_blind_rotate_matches_composed(monkeypatch):
             params, cctx, h - l, bp, base=l, interpret=True))
     monkeypatch.setattr(
         circuits, "cmux_keyed",
-        lambda params, cctx, bp, h, l: ggsw.external_product_keyed(
-            params, cctx, h - l, bp, base=l, interpret=True))
+        lambda params, cctx, bp, h, l, trunc=(None, None):
+        ggsw.external_product_keyed(
+            params, cctx, h - l, bp, base=l, trunc=trunc, interpret=True))
 
     # arithmetic path: single ct, L ct limbs, negated amounts with lsh
     prep = rand_prep(L, Lg)
@@ -342,3 +345,36 @@ def test_fused_split_matches_composed():
         c0, c1 = fused_split_pallas(PCTX, ct, t, g, keys, interpret=True)
         assert np.array_equal(np.asarray(c0), np.asarray(c0_want)), f"l={l} c0"
         assert np.array_equal(np.asarray(c1), np.asarray(c1_want)), f"l={l} c1"
+
+
+def test_fused_split_tree_matches_per_level():
+    """fused_split_tree_pallas (ALL split levels in one launch, state
+    doubling in VMEM) must be bit-exact vs the per-level
+    fused_split_pallas loop in extract_slots' concat layout."""
+    from fhe_ram_tpu.ops.ntt_pallas import (
+        fused_split_pallas, fused_split_tree_pallas)
+
+    rnd = np.random.default_rng(13)
+    nb, rank, L, Lk = 2, 1, 3, 4
+    C2 = rank + 1
+    ct = jnp.asarray(rnd.integers(-(1 << 16), 1 << 16, size=(nb, C2, L, N)),
+                     jnp.int32)
+    for S in (1, 3):
+        gals = tuple((N >> l) + 1 for l in range(S))
+        keys = {g: _rand_keys(rnd, 1, rank * L, C2 * Lk)[0] for g in gals}
+
+        # per-level reference in the extract_slots layout
+        nodes = ct[:, None]  # [nb, 1, C2, L, N]
+        for l in range(S):
+            g = gals[l]
+            flat = nodes.reshape((-1,) + nodes.shape[-3:])
+            c0, c1 = fused_split_pallas(PCTX, flat, 1 << l, g, keys[g],
+                                        interpret=True)
+            c0 = c0.reshape(nodes.shape)
+            c1 = c1.reshape(nodes.shape)
+            nodes = jnp.concatenate([c0, c1], axis=1)
+
+        got = fused_split_tree_pallas(
+            PCTX, ct, gals, jnp.stack([keys[g] for g in gals]),
+            interpret=True)
+        assert np.array_equal(np.asarray(got), np.asarray(nodes)), S

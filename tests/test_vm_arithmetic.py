@@ -159,3 +159,35 @@ def test_shift_ops_truncated_gadget():
         got = fheuint.decrypt_word(PV, ctxv, s_ntt, w, BITS)
         want = model_op(op, a, b)
         assert got == want, (op, got, want)
+
+
+def test_dp_and_bitwise_groups_truncated_gadget():
+    """The carry-DP and bitwise group chains under the ephemeral-word
+    gadget truncation (vm/arithmetic._vm_trunc plumbed into the group
+    circuits, round 5): decode stays exact at a READOPT-style test
+    ring, and core/noise.vm_trunc_added_log2 prices the preset."""
+    from fhe_ram_tpu.params import Params
+    from fhe_ram_tpu.core import noise
+
+    PV = Params(log_n=6, k_pt=3, decomp_n=(6,), word_size=2,
+                max_addr=1 << 8, read_ks_digits=2, read_ks_limbs=3,
+                read_ep_digits=2, read_ep_limbs=3)
+    assert noise.vm_trunc_added_log2(PV, BITS) < -(PV.k_pt + 1) - 6
+    ctxv = get_ntt_context(PV.n, PV.primes)
+    src = rng.Source(51)
+    sk = rng.ternary_secret(src.split(), PV.rank, PV.n, PV.xs_density)
+    s_ntt = glwe.secret_prepare(ctxv, sk)
+
+    a, b = 0xB4, 0x2D
+    rs1 = fheuint.encrypt_prepared(PV, ctxv, s_ntt, a, src, BITS)
+    rs2 = fheuint.encrypt_prepared(PV, ctxv, s_ntt, b, src, BITS)
+    dp_ops = ("add", "sub", "slt", "sltu")
+    words = arithmetic._dp_group(PV, ctxv, dp_ops, rs1, rs2, rs2, BITS)
+    for op in dp_ops:
+        got = fheuint.decrypt_word(PV, ctxv, s_ntt, words[op], BITS)
+        assert got == model_op(op, a, b), (op, got)
+    bw_ops = ("xor", "or", "and")
+    words = arithmetic._bitwise_group(PV, ctxv, bw_ops, rs1, rs2, rs2, BITS)
+    for op in bw_ops:
+        got = fheuint.decrypt_word(PV, ctxv, s_ntt, words[op], BITS)
+        assert got == model_op(op, a, b), (op, got)
