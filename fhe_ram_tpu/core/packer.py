@@ -223,6 +223,29 @@ def _merge_level_chunked(params: Params, ctx: NTTContext, A, B, t: int,
     return out.reshape(A.shape)
 
 
+def pack_prefix(params: Params, ctx: NTTContext, cts, auto_keys_ntt: dict,
+                stop_nodes: int, trunc: tuple = (None, None)):
+    """The SHALLOW levels of pack(): merge cts[M, ...] down to
+    stop_nodes surviving nodes and return them [stop_nodes, ..., C, L,
+    N] -- prescaled by the FULL 1/M up-front, so the caller finishes
+    with pack_tree(dilate=1, prescale=False) (possibly folding other
+    batch members into the row axis first: the hybrid-depth batched-read
+    schedule, ram._read_batch_slice)."""
+    M = cts.shape[0]
+    n = params.n
+    assert M & (M - 1) == 0 and stop_nodes & (stop_nodes - 1) == 0
+    assert 1 <= stop_nodes <= M
+    levels = M.bit_length() - 1
+    stop_log = stop_nodes.bit_length() - 1
+    cts = limb_ops.shift_right(cts, levels)  # full prescale (see pack)
+    for l in range(levels - 1, stop_log - 1, -1):
+        t = 1 << l
+        g = (n >> l) + 1
+        cts = _merge_level_chunked(params, ctx, cts[:t], cts[t : 2 * t],
+                                   t, g, auto_keys_ntt[g], trunc=trunc)
+    return cts
+
+
 def pack(params: Params, ctx: NTTContext, cts, auto_keys_ntt: dict,
          trunc: tuple = (None, None)):
     """Pack cts[M, ..., C, L, N] (slot-0 values v_m) into one ct whose

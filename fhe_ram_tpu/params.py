@@ -440,3 +440,15 @@ PARAMS_TEST_FLAT = Params(
     word_size=2,
     max_addr=1 << 5,
 )
+
+# 3-level test config (max_addr > N^2: base2d has three rows, 128 base
+# rows -> multi-chunk level-0 packs -> tree levels [2, 1]).  Exercises
+# the generic mid-level loops of write_impl / rmw_batch_impl
+# (reference: the ram.rs:461-649 walk at arbitrary depth).
+PARAMS_TEST_3LVL = Params(
+    log_n=6,
+    k_pt=3,
+    decomp_n=(3, 3),
+    word_size=2,
+    max_addr=1 << 13,
+)

@@ -182,6 +182,17 @@ _BATCH_CHUNK = int(os.environ.get("FHERAM_BATCH_CHUNK", "64"))
 # beats both the folded batch and the sequential scan.
 _BATCH_PACK_SLICED = os.environ.get("FHERAM_BATCH_PACK_SLICED", "1") == "1"
 
+# Hybrid-DEPTH refinement (round 5): per-address slicing runs each
+# address's deep merge levels at tiny row counts (the last level is one
+# W-row VMP call per address -- under the fused kernel's 4-row
+# blocking when W < 4, and launch-bound regardless), exactly where the
+# folded batch amortizes best.  With FHERAM_BATCH_PACK_DEEP = d > 0 the
+# sliced pack stops at d surviving nodes per address (packer.
+# pack_prefix under lax.map) and the remaining log2(d) levels run ONCE
+# with the batch folded into the row axis (B*W*pairs-row merges).
+# 0 disables (pure per-address slicing, the round-4 default).
+_BATCH_PACK_DEEP = int(os.environ.get("FHERAM_BATCH_PACK_DEEP", "0"))
+
 
 def read_batch_impl(params: Params, ctx: NTTContext, data, coords_b, atk,
                     data_ntt=None):
@@ -230,7 +241,30 @@ def _read_batch_slice(params: Params, ctx: NTTContext, data, coords_b, atk,
                                                  coords_b[0], data_ntt,
                                                  trunc=ept)
     for i in range(1, n2):
-        if _BATCH_PACK_SLICED and B > 1:
+        if (_BATCH_PACK_SLICED and B > 1 and _BATCH_PACK_DEEP > 0
+                and cur.shape[2] <= params.n
+                and _BATCH_PACK_DEEP < (1 << (cur.shape[2] - 1).bit_length())):
+            # hybrid depth (see _BATCH_PACK_DEEP): shallow levels
+            # per-address, deep levels folded across the batch
+            stop = _BATCH_PACK_DEEP
+
+            def _prefix(a):
+                W_, Rc = a.shape[0], a.shape[1]
+                M = 1 << (Rc - 1).bit_length() if Rc > 1 else 1
+                if M != Rc:
+                    pad = jnp.zeros((W_, M - Rc) + a.shape[2:], a.dtype)
+                    a = jnp.concatenate([a, pad], axis=1)
+                cts = jnp.moveaxis(a, 1, 0)  # [M, W, C, L, N]
+                return packer.pack_prefix(params, ctx, cts, atk, stop,
+                                          trunc=kst)  # [stop, W, C, L, N]
+
+            pref = jax.lax.map(_prefix, cur)  # [B, stop, W, C, L, N]
+            cts = jnp.moveaxis(pref, 1, 0).reshape(
+                (stop, B * W) + pref.shape[3:])
+            root = packer.pack_tree(params, ctx, cts, atk, dilate=1,
+                                    prescale=False, trunc=kst)
+            cur = root.reshape((B, W, 1) + root.shape[1:])
+        elif _BATCH_PACK_SLICED and B > 1:
             # per-address pack under lax.map (see _BATCH_PACK_SLICED)
             cur = jax.lax.map(
                 lambda a: _pack_rows(params, ctx, a, atk, trunc=kst), cur)
@@ -313,51 +347,64 @@ def rmw_batch_impl(params: Params, ctx: NTTContext, data, coords_prep_b,
     Returns (outs, new_data): outs int32[B, W, C, L, N] -- the values
     AT the addresses before the write (the rpw read-out, from the same
     full-gadget root trace that feeds the delta, so it is slightly
-    LESS noisy than a truncated batched read)."""
+    LESS noisy than a truncated batched read).
+
+    Generic in geometry (round 5): any n2 and any row count -- the
+    forward walk packs per address level by level (multi-chunk packs
+    like _pack_rows), and the delta walk loops the mid levels like
+    write_impl (one extraction per pack chunk per level)."""
     n2 = len(coords_prep_b)
-    assert n2 <= 2, "rmw_batch wired for the <=2-level geometry"
     B = coords_prep_b[0].shape[0]
     W, R = data.shape[0], data.shape[1]
     atk = keys.atk_glwe
     n = params.n
-    assert R <= n, "rmw_batch supports one pack chunk (R <= N)"
+    # rows entering the level-i product: the RAM, then each tree level
+    rows_levels = [R] + params.tree_shape()
 
     # rpw forward walk, batched: full gadget (the tree feeds the write)
     cur = address_mod.coordinate_product_batched(params, ctx, data,
                                                  coords_prep_b[0], data_ntt)
-    if n2 == 2:
-        packed = jax.lax.map(
-            lambda a: _pack_rows(params, ctx, a, atk), cur)  # [B, W, 1, ...]
-        root = address_mod.coordinate_product_perbatch(
-            params, ctx, packed[:, :, 0], coords_prep_b[1])  # [B, W, C, L, N]
-    else:
-        root = cur[:, :, 0]
+    for i in range(1, n2):
+        cur = jax.lax.map(
+            lambda a: _pack_rows(params, ctx, a, atk), cur)  # [B,W,chunks,..]
+        if i == n2 - 1:
+            cur = cur[:, :, 0]  # [B, W, C, L, N]
+        cur = address_mod.coordinate_product_perbatch(params, ctx, cur,
+                                                      coords_prep_b[i])
+    root = cur if n2 > 1 else cur[:, :, 0]
 
     # one FULL trace serves both the read-out and the delta
     t = keyswitch.trace(params, ctx,
                         root.reshape((B * W,) + root.shape[2:]), atk)
     t = t.reshape((B, W) + t.shape[1:])
     outs = t
-    deltas = limb_ops.normalize(w_b - t)  # [B, W, C, L, N]
+    deltas = limb_ops.normalize(w_b - t)[:, :, None]  # [B, W, 1, C, L, N]
 
     # walk each delta down to base-row granularity (per-address inverse
-    # coordinates; the GGSW automorphisms are cheap -- lax.map over B)
-    if n2 == 2:
-        inv1_b = jax.lax.map(
+    # coordinates; the GGSW automorphisms are cheap -- lax.map over B),
+    # mirroring write_impl's mid loop: per level, per pack chunk, one
+    # inverse CMux + one bounded split-tree extraction
+    for i in range(n2 - 2, -1, -1):
+        inv_b = jax.lax.map(
             lambda c: _invert_coordinate(params, ctx, c, keys),
-            coords_coeff_b[1])
-        d_lo = address_mod.coordinate_product_perbatch(
-            params, ctx, deltas, inv1_b)
-        # extract_slots puts the slot axis at -4 -> [B, W, R, C, L, N]
-        t_d = keyswitch.extract_slots(params, ctx, d_lo, R, atk,
-                                      bounded_support=True)
-    else:
-        t_d = deltas[:, :, None]  # [B, W, 1, C, L, N]
+            coords_coeff_b[i + 1])
+        chunks = deltas.shape[2]
+        rows_i = rows_levels[i]
+        parts = []
+        for j in range(chunks):
+            d_lo = address_mod.coordinate_product_perbatch(
+                params, ctx, deltas[:, :, j], inv_b)
+            Rc = min(n, rows_i - j * n)
+            # extract_slots puts the slot axis at -4 -> [B, W, Rc, ...]
+            parts.append(keyswitch.extract_slots(params, ctx, d_lo, Rc,
+                                                 atk, bounded_support=True))
+        deltas = jnp.concatenate(parts, axis=2)
 
     inv0_b = jax.lax.map(
         lambda c: _invert_coordinate(params, ctx, c, keys),
         coords_coeff_b[0])
-    upd = address_mod.coordinate_product_perbatch(params, ctx, t_d, inv0_b)
+    upd = address_mod.coordinate_product_perbatch(params, ctx, deltas,
+                                                  inv0_b)
     new_data = limb_ops.normalize(data + jnp.sum(upd, axis=0))
     return outs, new_data
 

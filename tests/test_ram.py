@@ -8,7 +8,8 @@ import jax.numpy as jnp
 import pytest
 
 from fhe_ram_tpu.params import (
-    PARAMS_TEST_SMALL, PARAMS_TEST_FLAT, PARAMS_TEST_SMALL_WIDE)
+    PARAMS_TEST_SMALL, PARAMS_TEST_FLAT, PARAMS_TEST_SMALL_WIDE,
+    PARAMS_TEST_3LVL)
 from fhe_ram_tpu.ops.ntt import get_ntt_context
 from fhe_ram_tpu.core import glwe, keys, rng
 from fhe_ram_tpu.ram import address as address_mod
@@ -199,13 +200,25 @@ def test_batch_pack_schedules_equivalent():
         ram_mod._BATCH_PACK_SLICED = False
         folded = np.asarray(ram_mod.read_batch_impl(
             par, ctx, ram_ct, coords_b, atk))
+        # hybrid depth (round 5): shallow per-address + deep folded.
+        # PARAMS_TEST_SMALL packs 4 leaves/address; stop at 2 nodes.
+        ram_mod._BATCH_PACK_SLICED = True
+        old_deep = ram_mod._BATCH_PACK_DEEP
+        ram_mod._BATCH_PACK_DEEP = 2
+        try:
+            hybrid = np.asarray(ram_mod.read_batch_impl(
+                par, ctx, ram_ct, coords_b, atk))
+        finally:
+            ram_mod._BATCH_PACK_DEEP = old_deep
     finally:
         ram_mod._BATCH_PACK_SLICED = old
     assert np.array_equal(sliced, folded)
+    assert np.array_equal(sliced, hybrid)
 
 
-@pytest.mark.parametrize("par", [PARAMS_TEST_FLAT, PARAMS_TEST_SMALL],
-                         ids=["flat_n2_1", "tree_n2_2"])
+@pytest.mark.parametrize(
+    "par", [PARAMS_TEST_FLAT, PARAMS_TEST_SMALL, PARAMS_TEST_3LVL],
+    ids=["flat_n2_1", "tree_n2_2", "tree_n2_3"])
 def test_rmw_batch(par):
     """Batched read-modify-write (rmw_batch_impl, round 4): B distinct
     addresses read their pre-write values and all B words land; other
