@@ -1,0 +1,343 @@
+"""Homomorphic bit decomposition: RAM byte VALUES -> bit-sliced FheUint.
+
+This closes the one dataflow neither this framework nor the reference
+can express (vm/cycle.py module docstring; the reference's
+src/conversion.rs is one-way): a word LOADED from the encrypted RAM --
+byte values at slot 0 -- re-entering the ALU, which consumes per-bit
+GGSWs (vm/fheuint.py FheUintPrepared).  Going from a VALUE ciphertext
+to its BITS is a bootstrapping-class operation; this module implements
+it with the framework's own machinery (external products, traces, the
+tensor key) as a TPU-first redesign of TFHE-style sign bootstrapping:
+
+  1. LWE view (free): slot 0 of a GLWE is an LWE ciphertext under the
+     flattened secret -- phase_0 = b_0 - sum_{c,j} alpha_{c,j} s_{c,j}
+     with PUBLIC coefficients alpha read off the mask polynomials
+     (alpha_{c,0} = a_c[0], alpha_{c,j} = -a_c[N-j]).
+  2. Per-bit mod-switch (public arithmetic): bit k of the unsigned
+     value u satisfies  bit_k(u) = MSB( frac(u * 2^-(k+1)) ), and
+     frac() is free on the torus -- so EVERY bit is a SIGN test of the
+     same phase under a different public scale 2^(k_pt-1-k).  No
+     sequential LSB/MSB peeling: the bits of a chunk extract in
+     PARALLEL (TFHE's peeling loop is inherently serial; the batched
+     form runs all K accumulators through ONE shared CMux chain --
+     the TPU-first restructure).
+  3. Batched blind rotation: acc_k = X^(v_k) * T with
+     v_k = b_k - sum alpha_k,c,j s_{c,j} (mod 2N) realized by one
+     CMux per nonzero-indicator of the ternary secret:
+       acc <- acc + s+_{c,j} (x) (X^(-a~) acc - acc)
+       acc <- acc + s-_{c,j} (x) (X^(+a~) acc - acc)
+     using a bootstrapping key of GGSW(s+), GGSW(s-) indicator bits
+     (s = s+ - s-).  The negacyclic test polynomial T = -h * sum_i X^i
+     turns the rotation into a sign read-out: coefficient 0 of
+     X^v * T is +h for v in (0, N) and -h for v in [N, 2N) -- exactly
+     h * (1 - 2 * MSB).  h pre-encodes 2^-(k_pt+1) so the final
+     affine  bit = trivial(h) - out  lands bit * 2^-k_pt with NO
+     mid-pipeline torus division (the division-unsoundness rule,
+     core/keyswitch.trace docstring).
+  4. Chunked phases for precision: a value on a boundary (all lower
+     bits zero) sits exactly on the sign edge, so bits are extracted
+     in chunks of `chunk` bits, low chunk first; after each phase the
+     extracted bits' contribution is subtracted (exact small-integer
+     scaling), which multiplies the remaining value's granularity by
+     2^chunk and widens every later margin by the same factor.  With
+     the half-gap offset the decision margin for bit k in a phase at
+     granularity `step` is  step * 2^-(k+2)  >= 2^-(chunk+1).
+  5. Clean-up + assembly: one BATCHED trace zeroes the non-slot-0
+     coefficients of all K accumulator outputs; bits_to_word rotates
+     bit k to coefficient k*gap (the FheUint word form), and
+     bits_to_prepared lifts each bit GLWE to a GGSW via the tensor key
+     (circuit-bootstrap scheme switch: digit row d is the bit shifted
+     to 2^-17(d+1) -- an EXACT limb shift -- and every a-row is
+     b-row (x) tsk[c], the same construction as
+     core/keys.ggsw_automorphism).
+
+Noise / cost pricing (production PARAMS_2_18*: N = 4096, rank 1,
+k_pt = 9, xs_density 0.5, byte = 8 bits, chunk = 4):
+
+  * Mod-switch error: std = sqrt(N * density / 12) / (2N)
+    ~= 2^-9.3 torus.  Decision margin per chunk-4 phase:
+    step * 2^-(k+2) >= 2^-6 -- a >= 21-sigma margin (failure
+    probability < 2^-300; chunk = 8 would give only 2^-10 margin at
+    0.7 sigma and is why single-phase byte extraction is unsound).
+  * Output bit noise: fresh-bootstrap quality, independent of input:
+    var = 2 * N * density * Var_EP(fresh GGSW at the bsk gadget) plus
+    one trace (the same terms core/noise.py prices for the read path);
+    the subtraction feeding phase 2 adds bit-noise * 2^k, bounded by
+    2^(p-1) * bootstrap noise -- still orders below the 2^-(k_pt+1)
+    decode bound.
+  * Bootstrapping key: 2 * rank * N GGSWs = 8192 at production
+    ([D=3, C=2, C2=2, Lg=4, N] int32 ~ 0.8 MB each, ~6.4 GiB
+    prepared) -- HBM-resident on one v5e (16 GiB) next to the 2^18
+    RAM, or row-sharded over the mesh like the RAM itself.
+  * Compute: ceil(8/chunk) = 2 phases x N CMux steps x 2 external
+    products, batch width = chunk bits x word_size bytes (all 4 bytes
+    of a word share every chain step -- the batch axis is free on the
+    MXU).  ~16k EPs/word vs ~10^2 per encrypted read: a load costs
+    ~100x a read, the expected bootstrapping-class gap.  The chain is
+    the fused_blind_rotate_pallas pattern with per-step DYNAMIC
+    amounts; the composed path below is the reference implementation,
+    an in-kernel dynamic-roll variant is the named follow-up.
+
+Prototype status: decode-checked end-to-end at a toy ring
+(tests/test_bitdecomp.py: N = 64, k_pt = 4, 4-bit values, chunk = 2)
+including the word assembly and the GGSW lift driving a real CMux.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..params import Params
+from ..ops.ntt import NTTContext
+from ..ops import limb as limb_ops
+from ..ops import poly
+from ..core import ggsw, keyswitch, rng
+from ..core import keys as keys_mod
+
+I32 = jnp.int32
+
+
+# --------------------------------------------------------------------------
+# bootstrapping key
+# --------------------------------------------------------------------------
+
+def bootstrap_key(params: Params, ctx: NTTContext, sk, s_ntt,
+                  source: rng.Source):
+    """GGSW indicator bits of the flattened ternary secret, prepared:
+    int32[P, rank*N, 2, D, C, C2, Lg, N] -- entry (c*N+j, 0) encrypts
+    1{s_c[j] = +1}, entry (c*N+j, 1) encrypts 1{s_c[j] = -1}.
+
+    Client-side (consumes the secret).  One-time ~2*rank*N GGSW
+    encryptions; see the module docstring for the production size."""
+    sk_np = np.asarray(sk)  # [rank, N]
+    n = params.n
+    rows = []
+    for c in range(params.rank):
+        for j in range(n):
+            pair = []
+            for sgn in (1, -1):
+                mono = np.zeros(n, dtype=np.int32)
+                mono[0] = 1 if int(sk_np[c, j]) == sgn else 0
+                pair.append(ggsw.encrypt(params, ctx, s_ntt,
+                                         jnp.asarray(mono), source))
+            rows.append(jnp.stack(pair, axis=0))
+    stacked = jnp.stack(rows, axis=0)  # [rank*N, 2, D, C, C2, Lg, N]
+    return ggsw.prepare(ctx, stacked)  # [P, rank*N, 2, ...]
+
+
+# --------------------------------------------------------------------------
+# public LWE view + per-bit mod-switch
+# --------------------------------------------------------------------------
+
+def _torus_f32(limbs):
+    """Top-two-limb float32 torus value (ample for the 2N-slot
+    mod-switch: dropped limbs contribute < 2^-51 * scale)."""
+    t = limbs[..., 0, :].astype(jnp.float32) * jnp.float32(2.0 ** -17)
+    if limbs.shape[-2] > 1:
+        t = t + limbs[..., 1, :].astype(jnp.float32) * jnp.float32(2.0 ** -34)
+    return t
+
+
+def _lwe_alpha(params: Params, ct):
+    """Slot-0 LWE mask over the flattened secret: float32[rank*N].
+    Negacyclic coefficient-0 convolution: alpha_{c,0} = a_c[0],
+    alpha_{c,j>0} = -a_c[N-j] (phase = b - sum a (*) s)."""
+    a = _torus_f32(ct[: params.rank])  # [rank, N]
+    flipped = jnp.concatenate([a[:, :1], -a[:, :0:-1]], axis=-1)
+    return flipped.reshape(-1)
+
+
+def _msw(t, scale: int, two_n: int, offset: int):
+    """round(frac(t * scale) * 2N) + offset (mod 2N), elementwise."""
+    v = t * jnp.float32(scale)
+    v = v - jnp.round(v)  # frac, centered
+    s = jnp.round(v * jnp.float32(two_n)).astype(I32) + I32(offset)
+    return jnp.mod(s, I32(two_n))
+
+
+# --------------------------------------------------------------------------
+# batched blind rotation (sign bootstrap)
+# --------------------------------------------------------------------------
+
+def _rot_dyn(x, a, n: int):
+    """X^a * x for a TRACED amount a in [0, 2N): roll + negacyclic sign
+    flip on the wrapped positions (+ global flip for a >= N).
+    x: int32[..., N]."""
+    sh = jnp.mod(a, n)
+    r = jnp.roll(x, sh, axis=-1)
+    idx = jnp.arange(n)
+    sign = jnp.where(idx < sh, -1, 1).astype(x.dtype)
+    r = r * jnp.reshape(sign, (1,) * (r.ndim - 1) + (n,))
+    return jnp.where(a >= n, -r, r)
+
+
+def _test_poly_limbs(params: Params):
+    """T = -h * sum_i X^i with h encoding 2^-(k_pt+1) (torus), as
+    normalized ct limbs [L, N]."""
+    n, L = params.n, params.limbs_ct
+    h = 1 << (16 - params.k_pt)  # 2^-(k_pt+1) at the limb-0 scale 2^-17
+    out = jnp.zeros((L, n), dtype=I32)
+    return out.at[0, :].set(-h)
+
+
+def _h_slot0(params: Params):
+    """Trivial ct of h = 2^-(k_pt+1) at slot 0 (the sign affine)."""
+    n, L, C = params.n, params.limbs_ct, params.rank + 1
+    h = 1 << (16 - params.k_pt)
+    ct = jnp.zeros((C, L, n), dtype=I32)
+    return ct.at[params.rank, 0, 0].set(h)
+
+
+def sign_bootstrap(params: Params, ctx: NTTContext, ct, bsk_prep,
+                   scales, offsets):
+    """K parallel sign tests of slot 0 of `ct` under per-test public
+    scales: returns int32[K, C, L, N] with slot 0 of output k equal to
+    h * (1 - 2 * MSB(frac(phase_0 * scales[k]))) (+ garbage in the
+    other slots; trace to clean).  ONE shared CMux chain serves all K
+    accumulators (the batch axis of every external product)."""
+    n = params.n
+    two_n = 2 * n
+    C = params.rank + 1
+    K = len(scales)
+    L = params.limbs_ct
+
+    t_alpha = _lwe_alpha(params, ct)                      # [rank*N] f32
+    t_b0 = _torus_f32(ct[params.rank])[0]                 # scalar f32
+
+    # per-bit public mod-switch
+    b_t = jnp.stack([_msw(t_b0[None], s, two_n, o)[0]
+                     for s, o in zip(scales, offsets)])   # [K]
+    a_t = jnp.stack([_msw(t_alpha, s, two_n, 0)
+                     for s in scales])                    # [K, rank*N]
+
+    # acc_k init: trivial X^(b_k) * T
+    T = _test_poly_limbs(params)                          # [L, N]
+    body = jax.vmap(lambda b: _rot_dyn(T, b, n))(b_t)     # [K, L, N]
+    acc = jnp.zeros((K, C, L, n), dtype=I32)
+    acc = acc.at[:, params.rank].set(body)
+
+    # CMux chain: one step per flattened secret coefficient
+    bsk_steps = jnp.moveaxis(bsk_prep, 1, 0)  # [rank*N, P, 2, D, C, C2, Lg, N]
+
+    def step(acc, xs):
+        key_pm, amt = xs  # [P, 2, D, C, C2, Lg, N], [K]
+        for pm, sgn in ((0, -1), (1, 1)):
+            amt_pm = jnp.mod(I32(sgn) * amt, I32(two_n))
+            rot = jax.vmap(lambda x, a: _rot_dyn(x, a, n),
+                           in_axes=(0, 0))(acc, amt_pm)
+            d = limb_ops.normalize(rot - acc)
+            upd = ggsw.external_product(params, ctx, d, key_pm[:, pm],
+                                        out_limbs=L)
+            acc = limb_ops.normalize(acc + upd)
+        return acc, None
+
+    acc, _ = jax.lax.scan(step, acc, (bsk_steps, a_t.T))
+    return acc
+
+
+# --------------------------------------------------------------------------
+# the decomposition pipeline
+# --------------------------------------------------------------------------
+
+def byte_to_bits(params: Params, ctx: NTTContext, byte_ct, bsk_prep, atk,
+                 p: int, chunk: int = 4):
+    """RAM byte ciphertext ([C, L, N], SIGNED p-bit value at slot 0,
+    ram.encrypt_ram convention) -> int32[p, C, L, N]: bit k of the
+    UNSIGNED representation u = x + 2^(p-1) at slot 0 of output k,
+    encoded bit * 2^-k_pt (clean: all other slots traced to zero).
+
+    chunk bits extract per phase (see module docstring step 4); every
+    phase is one batched blind rotation + one batched trace."""
+    assert p <= params.k_pt, "value must fit the plaintext precision"
+    n = params.n
+    C, L = params.rank + 1, params.limbs_ct
+    # unsigned shift: u = x + 2^(p-1)  (exact trivial add at slot 0;
+    # 2^(p-1) * 2^(17-k_pt) at the limb-0 scale)
+    off = jnp.zeros((C, L, n), dtype=I32)
+    off = off.at[params.rank, 0, 0].set(1 << (17 - params.k_pt + p - 1))
+    u_ct = limb_ops.normalize(byte_ct + off)
+
+    h_triv = _h_slot0(params)
+    bits = []
+    step = 1
+    for lo in range(0, p, chunk):
+        ks = list(range(lo, min(lo + chunk, p)))
+        scales = [1 << (params.k_pt - 1 - k) for k in ks]
+        # half-gap offset: step * 2^-(k+2) of the SCALED phase, in slots
+        offsets = [int(round(step * 2.0 ** (-(k + 2)) * 2 * n)) for k in ks]
+        acc = sign_bootstrap(params, ctx, u_ct, bsk_prep, scales, offsets)
+        tr = keyswitch.trace(params, ctx, acc, atk)       # [K, C, L, N]
+        bk = limb_ops.normalize(h_triv[None] - tr)        # bit * 2^-k_pt
+        bits.append(bk)
+        if lo + chunk < p:
+            # subtract the extracted contribution (exact integer scale):
+            # u <- u - sum_k b_k * 2^k, granularity becomes 2^(lo+chunk)
+            contrib = sum(bk[i] * (1 << k) for i, k in enumerate(ks))
+            u_ct = limb_ops.normalize(u_ct - contrib)
+            step <<= chunk
+    return jnp.concatenate(bits, axis=0)  # [p, C, L, N]
+
+
+def bits_to_word(params: Params, bit_cts, bits: int):
+    """Clean bit GLWEs [p, C, L, N] -> FheUint word form (bit k at
+    coefficient k * gap): a rotation sum, exact."""
+    from . import fheuint
+
+    g = fheuint.gap(params, bits)
+    p = bit_cts.shape[0]
+    word = bit_cts[0]
+    for k in range(1, p):
+        word = word + poly.rotate(bit_cts[k], k * g)
+    return limb_ops.normalize(word)
+
+
+def bits_to_prepared(params: Params, ctx: NTTContext, bit_cts,
+                     keys: keys_mod.EvaluationKeysPrepared):
+    """Clean bit GLWEs [p, C, L, N] -> FheUintPrepared GGSW stack
+    [P, p, D, C, C2, Lg, N]: the circuit-bootstrap scheme switch.
+
+    Digit row d of GGSW(b) needs GLWE(b * 2^-17(d+1)): an EXACT limb
+    shift of the bit ct (b * 2^-k_pt, k_pt <= 17).  Every a-row c is
+    b-row (x) tsk[c] = GLWE(-s_c * b * 2^-17(d+1)) -- the same tensor-
+    key construction as core/keys.ggsw_automorphism (keys.rs analog)."""
+    D = params.dnum_ct
+    Lg = params.limbs_ggsw
+    rank = params.rank
+    p = bit_cts.shape[0]
+    digit_rows = []
+    for d in range(D):
+        sh = 17 * (d + 1) - params.k_pt
+        row_b = limb_ops.resize_limbs(bit_cts, Lg)        # [p, C, Lg, N]
+        while sh > 0:  # exact multi-limb shift (chunks < base2k)
+            s = min(sh, 16)
+            row_b = limb_ops.shift_right(row_b, s)
+            sh -= s
+        rows_a = [
+            ggsw.external_product(params, ctx, row_b, keys.tsk[:, c],
+                                  out_limbs=Lg)
+            for c in range(rank)
+        ]
+        digit_rows.append(jnp.stack(rows_a + [row_b], axis=1))
+    # [p, D, C(row), C2(GLWE component), Lg, N] -- the ggsw.py layout
+    stacked = jnp.stack(digit_rows, axis=1)
+    return ggsw.prepare(ctx, stacked)
+
+
+def load_word(params: Params, ctx: NTTContext, fetched_bytes, bsk_prep,
+              keys: keys_mod.EvaluationKeysPrepared, bits: int):
+    """The VM LOAD: a fetched RAM word (ram read output, [W, C, L, N]
+    byte values) -> (word_form, prepared) FheUint -- the dataflow
+    vm/cycle.py could not previously express.  bits = 8 * W at the
+    production geometry; the toy ring uses smaller."""
+    W = fetched_bytes.shape[0]
+    p = bits // W
+    all_bits = []
+    for i in range(W):
+        all_bits.append(byte_to_bits(params, ctx, fetched_bytes[i],
+                                     bsk_prep, keys.atk_glwe, p))
+    bit_cts = jnp.concatenate(all_bits, axis=0)  # [bits, C, L, N]
+    word = bits_to_word(params, bit_cts, bits)
+    prepared = bits_to_prepared(params, ctx, bit_cts, keys)
+    return word, prepared

@@ -20,12 +20,17 @@ bit j of the value at coefficient j*gap (vm/fheuint.py), while the RAM
 stores byte i of a word as a signed-i8 VALUE at slot 0 of subram i
 (ram/ram.py encrypt_ram, reference src/ram.rs:358-379).  Repacking is
 cheap homomorphically: one batched trace extracts all `bits` bit-slots,
-then exact +-2^k weighted sums assemble the signed bytes.  (The REVERSE
+then exact +-2^k weighted sums assemble the signed bytes.  The REVERSE
 bridge -- RAM byte values back to bit-sliced FheUint form -- is a
 homomorphic bit decomposition, a bootstrapping-class operation that
-neither the reference nor this framework provides; the cycle therefore
-takes the store operands from the encrypted register file, which is
-where a RISC-V store's operands live anyway.)
+the reference does NOT provide (src/conversion.rs is one-way) but this
+framework now does: vm/bitdecomp.py (batched sign bootstraps +
+tensor-key GGSW lift; decode-checked in tests/test_bitdecomp.py).  The
+default cycle still takes store operands from the encrypted register
+file (where a RISC-V store's operands live); a LOAD instruction chains
+rpw's fetched word through bitdecomp.load_word into the next cycle's
+ALU operands at bootstrapping cost (~100x a read; priced in the
+bitdecomp module docstring).
 """
 
 from __future__ import annotations
