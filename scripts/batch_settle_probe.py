@@ -91,6 +91,13 @@ def main():
         return rps
 
     results = {}
+    only = os.environ.get("FHERAM_SETTLE_ONLY")
+    if only:  # e.g. FHERAM_SETTLE_ONLY=512,1024 -- publish runs only
+        deep = int(os.environ.get("FHERAM_SETTLE_DEEP", "0"))
+        for B in [int(x) for x in only.split(",")]:
+            results[(B, deep, 64)] = probe(B, deep, 64, kb=2)
+        print({k: round(v, 1) for k, v in results.items()}, flush=True)
+        return
     # hybrid-depth sweep at B=64 (per-address trees are 64-leaf: deep=8
     # folds the last 3 levels, deep=16 the last 4)
     for deep in (0, 8, 16):
