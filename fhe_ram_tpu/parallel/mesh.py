@@ -398,6 +398,84 @@ def sharded_rmw_fn(params: Params, mesh: Mesh):
     return jax.jit(fn, donate_argnums=(0,))
 
 
+def _sharded_rmw_batch_body(params: Params, ctx, n_shards: int, dp: int,
+                            data, coords_prep_b, coords_coeff_b, w_b, keys):
+    """B_loc RMWs against the local row shard (ram.rmw_batch_impl
+    restructured for the dp x rows mesh): full-gadget batched forward
+    walk with the sharded pack, one trace serving read-outs and deltas,
+    per-address sharded split-tree extraction (dilate/residue), local
+    inverse base products, then ONE psum over dp folds every replica's
+    delta sum into the (dp-replicated) row shards.  All B = dp * B_loc
+    reads see the pre-write state; distinct addresses are the caller's
+    contract (parallel-store semantics)."""
+    from ..ops import limb as limb_ops
+
+    atk = keys.atk_glwe
+    B = coords_prep_b[0].shape[0]
+    W, R_loc = data.shape[0], data.shape[1]
+    R = R_loc * n_shards
+
+    cur = address_mod.coordinate_product_batched(params, ctx, data,
+                                                 coords_prep_b[0])
+    flat = cur.reshape((B * W,) + cur.shape[2:])
+    flat = _pack_rows_sharded(params, ctx, flat, atk, "rows", n_shards)
+    cur = flat.reshape((B, W) + flat.shape[1:])[:, :, 0]
+    root = address_mod.coordinate_product_perbatch(params, ctx, cur,
+                                                   coords_prep_b[1])
+    t = keyswitch.trace(params, ctx,
+                        root.reshape((B * W,) + root.shape[2:]), atk)
+    t = t.reshape((B, W) + t.shape[1:])
+    outs = t
+    deltas = limb_ops.normalize(w_b - t)
+
+    inv1_b = jax.lax.map(
+        lambda c: ram_mod._invert_coordinate(params, ctx, c, keys),
+        coords_coeff_b[1])
+    d_lo = address_mod.coordinate_product_perbatch(params, ctx, deltas,
+                                                   inv1_b)
+    my = jax.lax.axis_index("rows") if n_shards > 1 else 0
+    t_d = keyswitch.extract_slots(params, ctx, d_lo, R, atk,
+                                  bounded_support=True,
+                                  dilate=n_shards, residue=my)
+    inv0_b = jax.lax.map(
+        lambda c: ram_mod._invert_coordinate(params, ctx, c, keys),
+        coords_coeff_b[0])
+    upd = address_mod.coordinate_product_perbatch(params, ctx, t_d, inv0_b)
+    upd = jnp.sum(upd, axis=0)  # local batch's delta rows
+    if dp > 1:
+        upd = jax.lax.psum(upd, "dp")
+    return outs, limb_ops.normalize(data + upd)
+
+
+def batched_rmw_fn(params: Params, mesh: Mesh):
+    """Jitted BATCHED read-modify-write over the full dp x rows mesh:
+    B distinct addresses sharded over dp, RAM rows (strided) over rows
+    -- the write-side completion of batched_read_fn.  One psum over dp
+    is the only batch-side collective (the deltas ADD, exact-data-carry
+    write); the rows-side pack exchange is the same as every sharded
+    walk.
+
+    Call as fn(data, coords_prep_b, coords_coeff_b, w_b, keys) ->
+    (outs [B, W, C, L, N] sharded over dp, new_data row-sharded):
+    data placed by shard_data_rows; coords stacked by stack_addresses
+    and placed by shard_addr_batch; w_b int32[B, W, C, L, N] sharded
+    over dp like the coords."""
+    ctx = get_ntt_context(params.n, params.primes)
+    _check_shardable(params)
+    r = mesh.shape["rows"]
+    dp = mesh.shape["dp"]
+    assert params.num_rows % r == 0
+    fn = jax.shard_map(
+        lambda d, cp, cc, w, k: _sharded_rmw_batch_body(
+            params, ctx, r, dp, d, cp, cc, w, k),
+        mesh=mesh,
+        in_specs=(P(None, "rows"), P("dp"), P("dp"), P("dp"), P()),
+        out_specs=(P("dp"), P(None, "rows")),
+        check_vma=False,
+    )
+    return jax.jit(fn, donate_argnums=(0,))
+
+
 def sharded_rpw_fn(params: Params, mesh: Mesh):
     """Jitted read_prepare_write over row-sharded RAM: returns
     (read_out, tree_root) -- the data shard is carried EXACTLY

@@ -165,3 +165,49 @@ def test_sharded_rpw_write_pair_matches(world):
         jax.device_put(ekp, rep))
     d2 = ram_mod.write_impl(PAR, ctx, d1, tree, w, addr.coordinates, ekp)
     assert np.array_equal(_unpermute_rows(mesh, nd), np.asarray(d2))
+
+
+def test_batched_rmw_sharded_matches_single(world):
+    """batched_rmw_fn (dp-sharded RMW batch x row-sharded RAM, round 5)
+    is BIT-EXACT vs the single-chip rmw_batch_impl: same read-outs,
+    same new data (after un-permuting the strided rows)."""
+    ctx, s_ntt, ekp, data, ram_ct, idxs, aps = world
+    src = rng.Source(79)
+    rnd = np.random.default_rng(41)
+    B = 4
+    b_idxs = [3, 40, 129, 250]
+    addrs = [address_mod.encrypt(PAR, ctx, s_ntt, i, src) for i in b_idxs]
+    b_aps = [address_mod.prepare(ctx, a) for a in addrs]
+    coords_prep = mesh_mod.stack_addresses(b_aps)
+    coords_coeff = tuple(
+        jnp.stack([a.coordinates[i] for a in addrs], axis=0)
+        for i in range(len(addrs[0].coordinates)))
+    new_words = rnd.integers(0, 256, size=(B, PAR.word_size)).astype(
+        np.uint8)
+    w_b = jnp.stack([
+        ram_mod.encrypt_write_word(PAR, ctx, s_ntt, nw, src)
+        for nw in new_words], axis=0)
+
+    mesh = mesh_mod.make_mesh(8, rows=2)  # dp=4 x rows=2
+    rep = mesh_mod.replicated(mesh)
+    fn = mesh_mod.batched_rmw_fn(PAR, mesh)
+    outs_sh, nd = fn(mesh_mod.shard_data_rows(mesh, ram_ct),
+                     mesh_mod.shard_addr_batch(mesh, coords_prep),
+                     mesh_mod.shard_addr_batch(mesh, coords_coeff),
+                     jax.device_put(w_b, jax.sharding.NamedSharding(
+                         mesh, jax.sharding.PartitionSpec("dp"))),
+                     jax.device_put(ekp, rep))
+    nd = _unpermute_rows(mesh, nd)
+
+    outs1, nd1 = ram_mod.rmw_batch_impl(PAR, ctx, ram_ct, coords_prep,
+                                        coords_coeff, w_b, ekp)
+    assert np.array_equal(np.asarray(outs_sh), np.asarray(outs1))
+    assert np.array_equal(nd, np.asarray(nd1))
+
+    # decode gates: pre-write read-outs + one landed word
+    for b, idx in enumerate(b_idxs):
+        _decode_word(ctx, s_ntt, np.asarray(outs_sh)[b],
+                     data[idx * PAR.word_size:(idx + 1) * PAR.word_size])
+    server = ram_mod.FheRam(PAR, ekp)
+    got = server.read(server.init_state(jnp.asarray(nd)), b_aps[2])
+    _decode_word(ctx, s_ntt, got, new_words[2])
