@@ -104,13 +104,24 @@ I32 = jnp.int32
 # --------------------------------------------------------------------------
 
 def bootstrap_key(params: Params, ctx: NTTContext, sk, s_ntt,
-                  source: rng.Source):
-    """GGSW indicator bits of the flattened ternary secret, prepared:
-    int32[P, rank*N, 2, D, C, C2, Lg, N] -- entry (c*N+j, 0) encrypts
-    1{s_c[j] = +1}, entry (c*N+j, 1) encrypts 1{s_c[j] = -1}.
+                  source: rng.Source, dnum: int | None = None,
+                  limbs: int | None = None, prepared: bool = True):
+    """GGSW indicator bits of the flattened ternary secret: entry
+    (c*N+j, 0) encrypts 1{s_c[j] = +1}, entry (c*N+j, 1) encrypts
+    1{s_c[j] = -1}.
 
-    Client-side (consumes the secret).  One-time ~2*rank*N GGSW
-    encryptions; see the module docstring for the production size."""
+    prepared=True returns the NTT form [P, rank*N, 2, D, C, C2, Lg, N]
+    (small rings / tests).  prepared=False returns the COEFFICIENT form
+    [rank*N, 2, D, C, C2, Lg, N]: at the production ring the prepared
+    key is P-fold larger (~19 GiB at Lg=4) and cannot sit in HBM, so
+    sign_bootstrap forward-NTTs each step's pair inside the chain
+    instead (one 2-GGSW transform per step -- amortized against the
+    step's two external products).
+
+    dnum/limbs parameterize the bsk gadget independently of the address
+    GGSWs (the blind-rotation budget tolerates Lg=3 at the production
+    ring; priced in the module docstring).  Client-side (consumes the
+    secret); one-time ~2*rank*N GGSW encryptions."""
     sk_np = np.asarray(sk)  # [rank, N]
     n = params.n
     rows = []
@@ -121,10 +132,48 @@ def bootstrap_key(params: Params, ctx: NTTContext, sk, s_ntt,
                 mono = np.zeros(n, dtype=np.int32)
                 mono[0] = 1 if int(sk_np[c, j]) == sgn else 0
                 pair.append(ggsw.encrypt(params, ctx, s_ntt,
-                                         jnp.asarray(mono), source))
+                                         jnp.asarray(mono), source,
+                                         dnum=dnum, limbs=limbs))
             rows.append(jnp.stack(pair, axis=0))
     stacked = jnp.stack(rows, axis=0)  # [rank*N, 2, D, C, C2, Lg, N]
-    return ggsw.prepare(ctx, stacked)  # [P, rank*N, 2, ...]
+    return ggsw.prepare(ctx, stacked) if prepared else stacked
+
+
+def bootstrap_key_fast(params: Params, ctx: NTTContext, sk, s_ntt,
+                       source: rng.Source, dnum: int | None = None,
+                       limbs: int | None = None, chunk: int = 512):
+    """bootstrap_key in COEFFICIENT form with batched encryption:
+    `chunk` indicator GGSWs per jit call (the per-GGSW loop costs
+    2*rank*N dispatches -- minutes over the tunnel at N=4096).  Same
+    key semantics, different RNG draws."""
+    import jax as _jax
+
+    from ..core import glwe as glwe_mod
+
+    D = dnum if dnum is not None else params.dnum_ct
+    Lg = limbs if limbs is not None else params.limbs_ggsw
+    C = params.rank + 1
+    n = params.n
+    sk_np = np.asarray(sk).reshape(-1)  # [rank*N]
+    bits = np.stack([(sk_np == 1), (sk_np == -1)], axis=1)  # [rank*N, 2]
+    bits = bits.reshape(-1).astype(np.int32)  # [2*rank*N]
+
+    @_jax.jit
+    def enc_chunk(s_ntt_, b, ka, ke):
+        M = b.shape[0]
+        zeros = jnp.zeros((M, D, C, Lg, n), dtype=I32)
+        rows = glwe_mod._encrypt_impl(params, ctx, s_ntt_, zeros, ka, ke)
+        for d in range(D):
+            for c in range(C):
+                rows = rows.at[:, d, c, c, d, 0].add(b)
+        return limb_ops.normalize(rows)
+
+    outs = []
+    for i in range(0, bits.shape[0], chunk):
+        b = jnp.asarray(bits[i : i + chunk])
+        outs.append(enc_chunk(s_ntt, b, source.split(), source.split()))
+    stacked = jnp.concatenate(outs, axis=0)
+    return stacked.reshape((params.rank * n, 2) + stacked.shape[1:])
 
 
 # --------------------------------------------------------------------------
@@ -218,11 +267,18 @@ def sign_bootstrap(params: Params, ctx: NTTContext, ct, bsk_prep,
     acc = jnp.zeros((K, C, L, n), dtype=I32)
     acc = acc.at[:, params.rank].set(body)
 
-    # CMux chain: one step per flattened secret coefficient
-    bsk_steps = jnp.moveaxis(bsk_prep, 1, 0)  # [rank*N, P, 2, D, C, C2, Lg, N]
+    # CMux chain: one step per flattened secret coefficient.  The bsk
+    # arrives prepared ([P, rank*N, 2, ...], small rings) or in
+    # coefficient form ([rank*N, 2, ...], production -- the prepared
+    # key is P-fold larger and HBM-resident only in this form; each
+    # step's pair is forward-NTT'd in-body).
+    coeff_form = bsk_prep.ndim == 7
+    bsk_steps = bsk_prep if coeff_form else jnp.moveaxis(bsk_prep, 1, 0)
 
     def step(acc, xs):
-        key_pm, amt = xs  # [P, 2, D, C, C2, Lg, N], [K]
+        key_pm, amt = xs  # [(P,) 2, D, C, C2, Lg, N], [K]
+        if coeff_form:
+            key_pm = ggsw.prepare(ctx, key_pm)  # [P, 2, D, C, C2, Lg, N]
         for pm, sgn in ((0, -1), (1, 1)):
             amt_pm = jnp.mod(I32(sgn) * amt, I32(two_n))
             rot = jax.vmap(lambda x, a: _rot_dyn(x, a, n),

@@ -1,0 +1,111 @@
+"""Production-ring homomorphic bit decomposition (the VM LOAD path,
+vm/bitdecomp.py) on the real TPU: byte -> 8 bits at N=4096 / k_pt=9,
+bsk in coefficient form (Lg=3 blind-rotation gadget; the prepared key
+would be ~15-19 GiB), per-step in-chain NTT, chunk=4 phases.
+
+Decode gate first (all 8 bits of several bytes must decode with noise
+under the bound), then scan-slope latency of byte_to_bits.
+
+Usage: FHERAM_NTT=pallas python scripts/bitdecomp_probe.py
+"""
+
+import os
+import sys
+import time
+
+os.environ.setdefault("FHERAM_NTT", "pallas")
+sys.path.insert(0, ".")
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from fhe_ram_tpu.params import PARAMS_2_18_TURBO_READOPT as par
+from fhe_ram_tpu.ops.ntt import get_ntt_context
+from fhe_ram_tpu.core import glwe, keys, rng
+from fhe_ram_tpu.vm import bitdecomp
+
+P_BITS = 8
+CHUNK = 4
+BSK_LIMBS = 3  # blind-rotation gadget: Lg=3 (budget priced in module)
+
+
+def main():
+    ctx = get_ntt_context(par.n, par.primes)
+    src = rng.Source(0)
+    sk = rng.ternary_secret(src.split(), par.rank, par.n, par.xs_density)
+    s_ntt = glwe.secret_prepare(ctx, sk)
+    ekp = keys.prepare(par, keys.keygen(par, sk, src))
+    atk = ekp.atk_glwe
+
+    t0 = time.time()
+    bsk = bitdecomp.bootstrap_key_fast(par, ctx, sk, s_ntt, src,
+                                       limbs=BSK_LIMBS)
+    bsk = jax.block_until_ready(bsk)
+    gib = bsk.size * 4 / 2**30
+    print(f"bsk keygen {time.time()-t0:.0f}s, coefficient form "
+          f"{bsk.shape} = {gib:.2f} GiB", flush=True)
+
+    def enc_byte(x):
+        vals = np.zeros(par.n, dtype=np.int64)
+        vals[0] = x
+        return glwe.encrypt(par, ctx, s_ntt,
+                            glwe.encode_vec(par, jnp.asarray(vals)), src)
+
+    # decode gate
+    fn = jax.jit(lambda ct: bitdecomp.byte_to_bits(
+        par, ctx, ct, bsk, atk, P_BITS, chunk=CHUNK))
+    t0 = time.time()
+    for x in (-128, -77, 0, 113):
+        bits = np.asarray(jax.block_until_ready(fn(enc_byte(x))))
+        u = x + (1 << (P_BITS - 1))
+        got, noises = [], []
+        for k in range(P_BITS):
+            ph = glwe.phase(par, ctx, s_ntt, jnp.asarray(bits[k]))
+            val, noise = glwe.decode_coeff0(par, np.asarray(ph),
+                                            (u >> k) & 1)
+            got.append(int(val))
+            noises.append(round(float(noise), 1))
+        want = [(u >> k) & 1 for k in range(P_BITS)]
+        status = "OK" if got == want else "FAIL"
+        print(f"x={x:4d} bits={got} want={want} noise={noises} {status}",
+              flush=True)
+        assert got == want, x
+    print(f"decode gate green ({time.time()-t0:.0f}s incl. compile)",
+          flush=True)
+
+    # scan-slope latency (k chained decompositions, each consuming the
+    # previous output's bit 0 ct as a fresh "byte" -- data-dependent so
+    # XLA cannot hoist)
+    def k_fn(kk):
+        def g(ct):
+            def body(c, _):
+                bits = bitdecomp.byte_to_bits(par, ctx, c, bsk, atk,
+                                              P_BITS, chunk=CHUNK)
+                return bits[0], ()
+            c, _ = jax.lax.scan(body, ct, None, length=kk)
+            return c.ravel()[0]
+        return jax.jit(g)
+
+    ct0 = enc_byte(42)
+    f1, f2 = k_fn(1), k_fn(3)
+    t0 = time.time()
+    np.asarray(f1(ct0)); np.asarray(f2(ct0))
+    print(f"slope compiles {time.time()-t0:.0f}s", flush=True)
+
+    def best(f, n=3):
+        ts = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            np.asarray(f(ct0))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    ms = (best(f2) - best(f1)) / 2 * 1000
+    print(f"byte -> 8 bits: {ms:.1f} ms "
+          f"(N=4096, {2*par.n} CMux steps, chunk={CHUNK}, "
+          f"bsk Lg={BSK_LIMBS} in-chain NTT)", flush=True)
+
+
+if __name__ == "__main__":
+    main()
