@@ -52,12 +52,14 @@ def main():
         return glwe.encrypt(par, ctx, s_ntt,
                             glwe.encode_vec(par, jnp.asarray(vals)), src)
 
-    # decode gate
-    fn = jax.jit(lambda ct: bitdecomp.byte_to_bits(
-        par, ctx, ct, bsk, atk, P_BITS, chunk=CHUNK))
+    # decode gate.  bsk/atk are jit ARGUMENTS: closed-over device
+    # arrays lower as HLO constants and a 4.5 GiB constant kills the
+    # remote compiler (CLAUDE.md measurement landmines).
+    fn = jax.jit(lambda ct, bsk_, atk_: bitdecomp.byte_to_bits(
+        par, ctx, ct, bsk_, atk_, P_BITS, chunk=CHUNK))
     t0 = time.time()
     for x in (-128, -77, 0, 113):
-        bits = np.asarray(jax.block_until_ready(fn(enc_byte(x))))
+        bits = np.asarray(jax.block_until_ready(fn(enc_byte(x), bsk, atk)))
         u = x + (1 << (P_BITS - 1))
         got, noises = [], []
         for k in range(P_BITS):
@@ -78,9 +80,9 @@ def main():
     # previous output's bit 0 ct as a fresh "byte" -- data-dependent so
     # XLA cannot hoist)
     def k_fn(kk):
-        def g(ct):
+        def g(ct, bsk_, atk_):
             def body(c, _):
-                bits = bitdecomp.byte_to_bits(par, ctx, c, bsk, atk,
+                bits = bitdecomp.byte_to_bits(par, ctx, c, bsk_, atk_,
                                               P_BITS, chunk=CHUNK)
                 return bits[0], ()
             c, _ = jax.lax.scan(body, ct, None, length=kk)
@@ -90,14 +92,14 @@ def main():
     ct0 = enc_byte(42)
     f1, f2 = k_fn(1), k_fn(3)
     t0 = time.time()
-    np.asarray(f1(ct0)); np.asarray(f2(ct0))
+    np.asarray(f1(ct0, bsk, atk)); np.asarray(f2(ct0, bsk, atk))
     print(f"slope compiles {time.time()-t0:.0f}s", flush=True)
 
     def best(f, n=3):
         ts = []
         for _ in range(n):
             t0 = time.perf_counter()
-            np.asarray(f(ct0))
+            np.asarray(f(ct0, bsk, atk))
             ts.append(time.perf_counter() - t0)
         return min(ts)
 
