@@ -78,9 +78,13 @@ k_pt = 9, xs_density 0.5, byte = 8 bits, chunk = 4):
     amounts; the composed path below is the reference implementation,
     an in-kernel dynamic-roll variant is the named follow-up.
 
-Prototype status: decode-checked end-to-end at a toy ring
+Status: decode-checked end-to-end at a toy ring
 (tests/test_bitdecomp.py: N = 64, k_pt = 4, 4-bit values, chunk = 2)
-including the word assembly and the GGSW lift driving a real CMux.
+including the word assembly and the GGSW lift driving a real CMux --
+AND measured at the PRODUCTION ring on the real TPU
+(scripts/bitdecomp_probe.py: N = 4096, k_pt = 9, byte -> 8 bits in
+~0.6 s, decode gate green at ~2^-20 bit noise vs the 2^-10 bound,
+coefficient-form Lg=3 bsk at 4.5 GiB HBM with in-chain NTT).
 """
 
 from __future__ import annotations
@@ -279,15 +283,19 @@ def sign_bootstrap(params: Params, ctx: NTTContext, ct, bsk_prep,
         key_pm, amt = xs  # [(P,) 2, D, C, C2, Lg, N], [K]
         if coeff_form:
             key_pm = ggsw.prepare(ctx, key_pm)  # [P, 2, D, C, C2, Lg, N]
-        for pm, sgn in ((0, -1), (1, 1)):
+        # the +/- CMuxes of ONE secret coefficient commute (the
+        # indicators are disjoint: at most one GGSW is nonzero), so both
+        # run against the SAME acc as one keyed batched product --
+        # halves the launch count per chain step
+        rots = []
+        for sgn in (-1, 1):
             amt_pm = jnp.mod(I32(sgn) * amt, I32(two_n))
-            rot = jax.vmap(lambda x, a: _rot_dyn(x, a, n),
-                           in_axes=(0, 0))(acc, amt_pm)
-            d = limb_ops.normalize(rot - acc)
-            upd = ggsw.external_product(params, ctx, d, key_pm[:, pm],
-                                        out_limbs=L)
-            acc = limb_ops.normalize(acc + upd)
-        return acc, None
+            rots.append(jax.vmap(lambda x, a: _rot_dyn(x, a, n),
+                                 in_axes=(0, 0))(acc, amt_pm))
+        d = limb_ops.normalize(jnp.stack(rots) - acc[None])  # [2,K,C,L,N]
+        upd = ggsw.external_product_keyed(params, ctx, d, key_pm,
+                                          out_limbs=L)
+        return limb_ops.normalize(acc + upd[0] + upd[1]), None
 
     acc, _ = jax.lax.scan(step, acc, (bsk_steps, a_t.T))
     return acc
