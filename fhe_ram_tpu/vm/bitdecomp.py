@@ -193,15 +193,6 @@ def _torus_f32(limbs):
     return t
 
 
-def _lwe_alpha(params: Params, ct):
-    """Slot-0 LWE mask over the flattened secret: float32[rank*N].
-    Negacyclic coefficient-0 convolution: alpha_{c,0} = a_c[0],
-    alpha_{c,j>0} = -a_c[N-j] (phase = b - sum a (*) s)."""
-    a = _torus_f32(ct[: params.rank])  # [rank, N]
-    flipped = jnp.concatenate([a[:, :1], -a[:, :0:-1]], axis=-1)
-    return flipped.reshape(-1)
-
-
 def _msw(t, scale: int, two_n: int, offset: int):
     """round(frac(t * scale) * 2N) + offset (mod 2N), elementwise."""
     v = t * jnp.float32(scale)
@@ -245,25 +236,32 @@ def _h_slot0(params: Params):
 
 def sign_bootstrap(params: Params, ctx: NTTContext, ct, bsk_prep,
                    scales, offsets):
-    """K parallel sign tests of slot 0 of `ct` under per-test public
-    scales: returns int32[K, C, L, N] with slot 0 of output k equal to
-    h * (1 - 2 * MSB(frac(phase_0 * scales[k]))) (+ garbage in the
-    other slots; trace to clean).  ONE shared CMux chain serves all K
-    accumulators (the batch axis of every external product)."""
+    """K parallel sign tests under per-test public scales: returns
+    int32[K, C, L, N] with slot 0 of output k equal to
+    h * (1 - 2 * MSB(frac(phase_0(ct_k) * scales[k]))) (+ garbage in
+    the other slots; trace to clean).  ct: one GLWE [C, L, N] shared by
+    every test, or [K, C, L, N] with test k reading its OWN ciphertext
+    (the word-batched form: all bytes of a word share the chain).  ONE
+    CMux chain serves all K accumulators (the batch axis of every
+    external product)."""
     n = params.n
     two_n = 2 * n
     C = params.rank + 1
     K = len(scales)
     L = params.limbs_ct
+    cts = jnp.broadcast_to(ct, (K,) + ct.shape) if ct.ndim == 3 else ct
+    assert cts.shape[0] == K
 
-    t_alpha = _lwe_alpha(params, ct)                      # [rank*N] f32
-    t_b0 = _torus_f32(ct[params.rank])[0]                 # scalar f32
+    # per-test public LWE view + mod-switch
+    a = _torus_f32(cts[:, : params.rank])                 # [K, rank, N]
+    flipped = jnp.concatenate([a[..., :1], -a[..., :0:-1]], axis=-1)
+    t_alpha = flipped.reshape(K, -1)                      # [K, rank*N]
+    t_b0 = _torus_f32(cts[:, params.rank])[:, 0]          # [K]
 
-    # per-bit public mod-switch
-    b_t = jnp.stack([_msw(t_b0[None], s, two_n, o)[0]
-                     for s, o in zip(scales, offsets)])   # [K]
-    a_t = jnp.stack([_msw(t_alpha, s, two_n, 0)
-                     for s in scales])                    # [K, rank*N]
+    b_t = jnp.stack([_msw(t_b0[k : k + 1], s, two_n, o)[0]
+                     for k, (s, o) in enumerate(zip(scales, offsets))])
+    a_t = jnp.stack([_msw(t_alpha[k], s, two_n, 0)
+                     for k, s in enumerate(scales)])      # [K, rank*N]
 
     # acc_k init: trivial X^(b_k) * T
     T = _test_poly_limbs(params)                          # [L, N]
@@ -305,43 +303,57 @@ def sign_bootstrap(params: Params, ctx: NTTContext, ct, bsk_prep,
 # the decomposition pipeline
 # --------------------------------------------------------------------------
 
-def byte_to_bits(params: Params, ctx: NTTContext, byte_ct, bsk_prep, atk,
-                 p: int, chunk: int = 4):
-    """RAM byte ciphertext ([C, L, N], SIGNED p-bit value at slot 0,
-    ram.encrypt_ram convention) -> int32[p, C, L, N]: bit k of the
-    UNSIGNED representation u = x + 2^(p-1) at slot 0 of output k,
-    encoded bit * 2^-k_pt (clean: all other slots traced to zero).
+def bytes_to_bits(params: Params, ctx: NTTContext, byte_cts, bsk_prep, atk,
+                  p: int, chunk: int = 4):
+    """Wb RAM byte ciphertexts ([Wb, C, L, N], SIGNED p-bit values at
+    slot 0, ram.encrypt_ram convention) -> int32[Wb, p, C, L, N]:
+    bit k of the UNSIGNED representation u = x + 2^(p-1), encoded
+    bit * 2^-k_pt (clean: all other slots traced to zero).
 
     chunk bits extract per phase (see module docstring step 4); every
-    phase is one batched blind rotation + one batched trace."""
+    phase is ONE batched blind rotation (K = Wb * chunk accumulators
+    share the chain -- a whole word costs ceil(p/chunk) chains, same
+    as one byte) + one batched trace."""
     assert p <= params.k_pt, "value must fit the plaintext precision"
     n = params.n
+    Wb = byte_cts.shape[0]
     C, L = params.rank + 1, params.limbs_ct
     # unsigned shift: u = x + 2^(p-1)  (exact trivial add at slot 0;
     # 2^(p-1) * 2^(17-k_pt) at the limb-0 scale)
     off = jnp.zeros((C, L, n), dtype=I32)
     off = off.at[params.rank, 0, 0].set(1 << (17 - params.k_pt + p - 1))
-    u_ct = limb_ops.normalize(byte_ct + off)
+    u_cts = limb_ops.normalize(byte_cts + off[None])
 
     h_triv = _h_slot0(params)
     bits = []
     step = 1
     for lo in range(0, p, chunk):
         ks = list(range(lo, min(lo + chunk, p)))
-        scales = [1 << (params.k_pt - 1 - k) for k in ks]
+        kc = len(ks)
+        scales = [1 << (params.k_pt - 1 - k) for k in ks] * Wb
         # half-gap offset: step * 2^-(k+2) of the SCALED phase, in slots
-        offsets = [int(round(step * 2.0 ** (-(k + 2)) * 2 * n)) for k in ks]
-        acc = sign_bootstrap(params, ctx, u_ct, bsk_prep, scales, offsets)
-        tr = keyswitch.trace(params, ctx, acc, atk)       # [K, C, L, N]
-        bk = limb_ops.normalize(h_triv[None] - tr)        # bit * 2^-k_pt
+        offsets = [int(round(step * 2.0 ** (-(k + 2)) * 2 * n))
+                   for k in ks] * Wb
+        cts = jnp.repeat(u_cts, kc, axis=0)  # test (i*kc+j) = byte i
+        acc = sign_bootstrap(params, ctx, cts, bsk_prep, scales, offsets)
+        tr = keyswitch.trace(params, ctx, acc, atk)    # [Wb*kc, C, L, N]
+        bk = limb_ops.normalize(h_triv[None] - tr).reshape(
+            (Wb, kc) + tr.shape[1:])                   # bit * 2^-k_pt
         bits.append(bk)
         if lo + chunk < p:
             # subtract the extracted contribution (exact integer scale):
             # u <- u - sum_k b_k * 2^k, granularity becomes 2^(lo+chunk)
-            contrib = sum(bk[i] * (1 << k) for i, k in enumerate(ks))
-            u_ct = limb_ops.normalize(u_ct - contrib)
+            contrib = sum(bk[:, i] * (1 << k) for i, k in enumerate(ks))
+            u_cts = limb_ops.normalize(u_cts - contrib)
             step <<= chunk
-    return jnp.concatenate(bits, axis=0)  # [p, C, L, N]
+    return jnp.concatenate(bits, axis=1)  # [Wb, p, C, L, N]
+
+
+def byte_to_bits(params: Params, ctx: NTTContext, byte_ct, bsk_prep, atk,
+                 p: int, chunk: int = 4):
+    """Single-byte form of bytes_to_bits: [C, L, N] -> [p, C, L, N]."""
+    return bytes_to_bits(params, ctx, byte_ct[None], bsk_prep, atk, p,
+                         chunk=chunk)[0]
 
 
 def bits_to_word(params: Params, bit_cts, bits: int):
@@ -397,11 +409,9 @@ def load_word(params: Params, ctx: NTTContext, fetched_bytes, bsk_prep,
     production geometry; the toy ring uses smaller."""
     W = fetched_bytes.shape[0]
     p = bits // W
-    all_bits = []
-    for i in range(W):
-        all_bits.append(byte_to_bits(params, ctx, fetched_bytes[i],
-                                     bsk_prep, keys.atk_glwe, p))
-    bit_cts = jnp.concatenate(all_bits, axis=0)  # [bits, C, L, N]
+    bit_cts = bytes_to_bits(params, ctx, fetched_bytes, bsk_prep,
+                            keys.atk_glwe, p).reshape(
+        (bits,) + fetched_bytes.shape[1:])  # [bits, C, L, N]
     word = bits_to_word(params, bit_cts, bits)
     prepared = bits_to_prepared(params, ctx, bit_cts, keys)
     return word, prepared

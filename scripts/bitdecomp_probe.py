@@ -108,6 +108,37 @@ def main():
           f"(N=4096, {2*par.n} CMux steps, chunk={CHUNK}, "
           f"bsk Lg={BSK_LIMBS} in-chain NTT)", flush=True)
 
+    # word-level: all 4 bytes share the chain (K = 16 accumulators)
+    from fhe_ram_tpu.vm.bitdecomp import bytes_to_bits
+
+    def k_word(kk):
+        def g(cts, bsk_, atk_):
+            def body(c, _):
+                bits = bytes_to_bits(par, ctx, c, bsk_, atk_, P_BITS,
+                                     chunk=CHUNK)
+                return bits[:, 0], ()
+            c, _ = jax.lax.scan(body, cts, None, length=kk)
+            return c.ravel()[0]
+        return jax.jit(g)
+
+    word0 = jnp.stack([enc_byte(x) for x in (11, -100, 55, 0)])
+    g1, g2 = k_word(1), k_word(2)
+    t0 = time.time()
+    np.asarray(g1(word0, bsk, atk)); np.asarray(g2(word0, bsk, atk))
+    print(f"word compiles {time.time()-t0:.0f}s", flush=True)
+
+    def bestw(f, n=3):
+        ts = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            np.asarray(f(word0, bsk, atk))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    msw = (bestw(g2) - bestw(g1)) / 1 * 1000
+    print(f"word (4 bytes) -> 32 bits: {msw:.1f} ms "
+          f"(K=16 accumulators share each chain)", flush=True)
+
 
 if __name__ == "__main__":
     main()
