@@ -312,8 +312,9 @@ def bytes_to_bits(params: Params, ctx: NTTContext, byte_cts, bsk_prep, atk,
 
     chunk bits extract per phase (see module docstring step 4); every
     phase is ONE batched blind rotation (K = Wb * chunk accumulators
-    share the chain -- a whole word costs ceil(p/chunk) chains, same
-    as one byte) + one batched trace."""
+    share the chain's key NTT/streaming/launches; the per-step VMP
+    work still scales with K -- measured: a 4-byte word costs 2.7x one
+    byte, not 4x) + one batched trace."""
     assert p <= params.k_pt, "value must fit the plaintext precision"
     n = params.n
     Wb = byte_cts.shape[0]

@@ -42,21 +42,24 @@ def main():
     cache = jax.jit(lambda d: spectral_cache(par, ctx, d))(ram_dev)
     jax.block_until_ready(cache)
 
-    Bmax = 1024
+    Bmax = int(os.environ.get("FHERAM_SETTLE_BMAX", "1024"))
     print("encrypting addresses...", flush=True)
     aps = [address_mod.prepare(ctx, address_mod.encrypt(
         par, ctx, s_ntt, int(rnd.integers(0, par.max_addr)), src))
         for _ in range(Bmax)]
+    # stage on HOST; device_put only the probed slice (B=1024 coords are
+    # ~10 GB at the turbo GGSW size -- they cannot sit in HBM en bloc
+    # next to the spectral cache)
     coords_all = tuple(
-        jnp.stack([a.coordinates[i] for a in aps], 0)
+        np.stack([np.asarray(a.coordinates[i]) for a in aps], 0)
         for i in range(len(aps[0].coordinates)))
-    coords_all = jax.device_put(coords_all, tpu)
     print("addresses ready", flush=True)
 
     def probe(B, deep, chunk, kb=4):
         ram_mod._BATCH_PACK_DEEP = deep
         ram_mod._BATCH_CHUNK = chunk
-        c = jax.tree.map(lambda x: x[:B], coords_all)
+        c = jax.device_put(
+            jax.tree.map(lambda x: x[:B], coords_all), tpu)
 
         def k_batch(kk):
             def fn(d, cc, atk_in, cache_in):
@@ -95,7 +98,11 @@ def main():
     if only:  # e.g. FHERAM_SETTLE_ONLY=512,1024 -- publish runs only
         deep = int(os.environ.get("FHERAM_SETTLE_DEEP", "0"))
         for B in [int(x) for x in only.split(",")]:
-            results[(B, deep, 64)] = probe(B, deep, 64, kb=2)
+            try:
+                results[(B, deep, 64)] = probe(B, deep, 64, kb=2)
+            except Exception as e:
+                print(f"B={B}: DOES NOT FIT one call "
+                      f"({type(e).__name__}: {str(e)[:120]})", flush=True)
         print({k: round(v, 1) for k, v in results.items()}, flush=True)
         return
     # hybrid-depth sweep at B=64 (per-address trees are 64-leaf: deep=8
