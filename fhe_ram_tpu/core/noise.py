@@ -256,6 +256,29 @@ def vm_trunc_added_log2(params: Params, bits: int = 32) -> float:
     return bound_log2(var)
 
 
+def bitdecomp_bit_noise_log2(params: Params, bsk_dnum: int | None = None,
+                             bsk_limbs: int | None = None) -> float:
+    """Analytic bound on one extracted bit's noise (vm/bitdecomp.py):
+    fresh-bootstrap quality, independent of the input ciphertext.
+
+    The accumulator starts trivial (noise 0) and takes 2 * rank * N
+    keyed external products at the bsk gadget (every step adds EP
+    noise even when its indicator GGSW encrypts 0), then one cleaning
+    trace (coherent keyswitch amplification at the kept coefficient);
+    the sign affine is a trivial subtraction.  Must stay below the
+    2^-(k_pt+1) bit-decode bound -- tests/test_noise.py pins the
+    production presets at the Lg=3 blind-rotation gadget, and the
+    measured on-chip bit noise (~2^-20 at 2_18 turbo) sits inside this
+    bound (scripts/bitdecomp_probe.py)."""
+    D = bsk_dnum if bsk_dnum is not None else params.dnum_ct
+    Lg = bsk_limbs if bsk_limbs is not None else params.limbs_ggsw
+    L = params.limbs_ct
+    per_step = var_external_product(params, D, var_fresh(params, Lg), L)
+    var_acc = 2.0 * params.rank * params.n * per_step
+    var, det = trace_noise(params, var_acc, L)
+    return bound_log2(var, det)
+
+
 def write_cycle_added_var(params: Params) -> tuple[float, float]:
     """(variance, deterministic) noise ADDED to one base-level data row
     by one full read_prepare_write + write cycle (ram/ram.py).

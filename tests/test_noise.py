@@ -268,3 +268,18 @@ def test_rpw_truncation_priced_out():
                dict(rpw_ks_limbs=3, rpw_ep_limbs=3, rpw_ks_digits=2,
                     rpw_ep_digits=2)):
         assert noise.refresh_budget(Params(**base, **kv)) < 40_000_000
+
+
+def test_bitdecomp_bit_noise_bounded():
+    """The sign-bootstrap output-bit noise bound (vm/bitdecomp.py,
+    noise.bitdecomp_bit_noise_log2) clears the bit-decode bound at the
+    Lg=3 blind-rotation gadget for every production preset, with
+    margin (measured on-chip: ~2^-20 at 2_18 turbo vs the -17.7 model
+    bound -- the model is conservative, as it should be)."""
+    from fhe_ram_tpu.params import (
+        PARAMS_2_18_TURBO_READOPT, PARAMS_2_18_READOPT, PARAMS_README_2_18)
+
+    for p in (PARAMS_2_18_TURBO_READOPT, PARAMS_2_18_READOPT,
+              PARAMS_README_2_18):
+        b = noise.bitdecomp_bit_noise_log2(p, bsk_limbs=3)
+        assert b < -(p.k_pt + 1) - 4, (b, p.k_pt)
