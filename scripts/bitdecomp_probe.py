@@ -30,6 +30,48 @@ CHUNK = 4
 BSK_LIMBS = 3  # blind-rotation gadget: Lg=3 (budget priced in module)
 
 
+def lift_gate(ctx, src, s_ntt, ekp, bsk):
+    """FHERAM_BITPROBE=lift: the FULL production load_word -- word-form
+    decode + the tensor-key GGSW lift driving a real external product."""
+    import jax.numpy as jnp
+
+    from fhe_ram_tpu.core import ggsw
+    from fhe_ram_tpu.vm import bitdecomp, fheuint
+
+    bytes_signed = [11, -100, 55, 0]
+    vals = np.zeros((4, par.n), dtype=np.int64)
+    vals[:, 0] = bytes_signed
+    fetched = glwe.encrypt(par, ctx, s_ntt,
+                           glwe.encode_vec(par, jnp.asarray(vals)), src)
+    fn = jax.jit(lambda f, b, k: bitdecomp.load_word(par, ctx, f, b, k,
+                                                     bits=32))
+    t0 = time.time()
+    word, prepared = jax.block_until_ready(fn(fetched, bsk, ekp))
+    print(f"load_word wall {time.time()-t0:.0f}s (incl. compile)",
+          flush=True)
+    us = [x + 128 for x in bytes_signed]
+    want = sum(u << (8 * i) for i, u in enumerate(us))
+    got = fheuint.decrypt_word(par, ctx, s_ntt, word, 32)
+    assert got == want, (hex(got), hex(want))
+    print(f"word decode OK: {hex(got)}", flush=True)
+    m = 3
+    mv = np.zeros(par.n, dtype=np.int64)
+    mv[0] = m
+    ct_m = glwe.encrypt(par, ctx, s_ntt,
+                        glwe.encode_vec(par, jnp.asarray(mv)), src)
+    sel = jax.jit(lambda c, p: ggsw.external_product(par, ctx, c, p))
+    for j in (0, 7, 13, 31):
+        b = (want >> j) & 1
+        out = sel(ct_m, prepared[:, j])
+        ph = glwe.phase(par, ctx, s_ntt, out)
+        val, noise = glwe.decode_coeff0(par, np.asarray(ph), b * m)
+        assert int(val) == b * m, (j, val, b * m)
+        print(f"lift bit {j}: select {val} == {b*m} noise {noise:.1f} OK",
+              flush=True)
+    print("LOAD GATE GREEN (word + GGSW lift at the production ring)",
+          flush=True)
+
+
 def main():
     ctx = get_ntt_context(par.n, par.primes)
     src = rng.Source(0)
@@ -45,6 +87,9 @@ def main():
     gib = bsk.size * 4 / 2**30
     print(f"bsk keygen {time.time()-t0:.0f}s, coefficient form "
           f"{bsk.shape} = {gib:.2f} GiB", flush=True)
+
+    if os.environ.get("FHERAM_BITPROBE") == "lift":
+        return lift_gate(ctx, src, s_ntt, ekp, bsk)
 
     def enc_byte(x):
         vals = np.zeros(par.n, dtype=np.int64)
