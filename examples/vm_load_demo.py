@@ -77,9 +77,9 @@ def main():
     fetched = server.read(server.init_state(ram_ct), ap)
     print(f"[{time.time()-t0:5.1f}s] encrypted read done")
 
-    # the LOAD: byte values -> FheUint word + prepared GGSW bits.
-    # RAM bytes are signed p-bit; bit k of u = x + 2^(p-1) is bit k of
-    # the unsigned byte, so the assembled word IS the unsigned value.
+    # the LOAD: byte values -> FheUint word + prepared GGSW bits
+    # (bytes_to_bits returns the UNSIGNED byte's bits, so the
+    # assembled word is the unsigned value)
     word, prepared = bitdecomp.load_word(PAR, ctx, fetched, bsk, ekp,
                                          bits=BITS)
     got = fheuint.decrypt_word(PAR, ctx, s_ntt, word, BITS)

@@ -168,6 +168,12 @@ def external_product_keyed(params: Params, ctx: NTTContext, ct, ggsw_ntt,
     if key_limbs is not None:
         ggsw_ntt = ggsw_ntt[..., :key_limbs, :]
     P, K, D, C, C2, Lg, n = ggsw_ntt.shape
+    if D < ct.shape[-2]:
+        # key-driven gadget truncation: a GGSW with fewer digit rows
+        # (e.g. the 2-digit LIFTED gadget, vm/bitdecomp.bits_to_prepared)
+        # consumes only the operand's top D digits -- the same slicing
+        # semantics as the trunc parameter
+        ct = ct[..., :D, :]
     K2, B, C3, L, n2 = ct.shape
     assert K2 == K and C3 == C and D == L and n2 == n
     # output precision defaults to the PRE-truncation limb count (the

@@ -265,18 +265,23 @@ def bitdecomp_bit_noise_log2(params: Params, bsk_dnum: int | None = None,
     keyed external products at the bsk gadget (every step adds EP
     noise even when its indicator GGSW encrypts 0), then one cleaning
     trace (coherent keyswitch amplification at the kept coefficient);
-    the sign affine is a trivial subtraction.  Must stay below the
-    2^-(k_pt+1) bit-decode bound -- tests/test_noise.py pins the
-    production presets at the Lg=3 blind-rotation gadget, and the
-    measured on-chip bit noise (~2^-20 at 2_18 turbo) sits inside this
-    bound (scripts/bitdecomp_probe.py)."""
+    the sign affine is a trivial subtraction, and the VALUE bit is the
+    gadget-level-1 output scaled UP by the exact integer 2^(17 - k_pt)
+    (which scales the noise by the same factor).  Must stay below the
+    2^-(k_pt+1) bit-decode bound; the GADGET rows (unscaled bootstrap
+    outputs) additionally bound the lifted-GGSW CMux noise -- their
+    amplitude must sit well under the per-digit budget, which is why
+    the production bsk runs the Lg=5 (k=85-grade) gadget
+    (tests/test_noise.py pins the presets;
+    scripts/bitdecomp_probe.py measures on-chip)."""
     D = bsk_dnum if bsk_dnum is not None else params.dnum_ct
     Lg = bsk_limbs if bsk_limbs is not None else params.limbs_ggsw
     L = params.limbs_ct
     per_step = var_external_product(params, D, var_fresh(params, Lg), L)
     var_acc = 2.0 * params.rank * params.n * per_step
     var, det = trace_noise(params, var_acc, L)
-    return bound_log2(var, det)
+    up = 4.0 ** (17 - params.k_pt)
+    return bound_log2(var * up, det * 2.0 ** (17 - params.k_pt))
 
 
 def write_cycle_added_var(params: Params) -> tuple[float, float]:

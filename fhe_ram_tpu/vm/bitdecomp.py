@@ -45,11 +45,18 @@ tensor key) as a TPU-first redesign of TFHE-style sign bootstrapping:
   5. Clean-up + assembly: one BATCHED trace zeroes the non-slot-0
      coefficients of all K accumulator outputs; bits_to_word rotates
      bit k to coefficient k*gap (the FheUint word form), and
-     bits_to_prepared lifts each bit GLWE to a GGSW via the tensor key
-     (circuit-bootstrap scheme switch: digit row d is the bit shifted
-     to 2^-17(d+1) -- an EXACT limb shift -- and every a-row is
-     b-row (x) tsk[c], the same construction as
-     core/keys.ggsw_automorphism).
+     bits_to_prepared lifts the bits to GGSWs via the tensor key
+     (circuit-bootstrap scheme switch).  Digit row d comes from its
+     OWN sign test whose test polynomial is PRE-SCALED to the gadget
+     level (h = 2^-(17(d+1)+1)) -- riding the same chains as extra
+     batch tests -- and every a-row is b-row (x) tsk[c], the same
+     construction as core/keys.ggsw_automorphism.  The VALUE bit is
+     the d=0 row scaled UP by the exact integer 2^(17-k_pt).
+     Shifting a CIPHERTEXT down instead is UNSOUND (the phase's mod-1
+     wrap does not divide -- the trace docstring's torus-division
+     rule; measured 2^-10.7 row error before this construction).  The
+     lifted GGSW is a truncated 2-digit gadget (the read-EP pattern,
+     READOPT's read_ep_digits = 2).
 
 Noise / cost pricing (production PARAMS_2_18*: N = 4096, rank 1,
 k_pt = 9, xs_density 0.5, byte = 8 bits, chunk = 4):
@@ -65,26 +72,29 @@ k_pt = 9, xs_density 0.5, byte = 8 bits, chunk = 4):
     the subtraction feeding phase 2 adds bit-noise * 2^k, bounded by
     2^(p-1) * bootstrap noise -- still orders below the 2^-(k_pt+1)
     decode bound.
-  * Bootstrapping key: 2 * rank * N GGSWs = 8192 at production
-    ([D=3, C=2, C2=2, Lg=4, N] int32 ~ 0.8 MB each, ~6.4 GiB
-    prepared) -- HBM-resident on one v5e (16 GiB) next to the 2^18
-    RAM, or row-sharded over the mesh like the RAM itself.
-  * Compute: ceil(8/chunk) = 2 phases x N CMux steps x 2 external
-    products, batch width = chunk bits x word_size bytes (all 4 bytes
-    of a word share every chain step -- the batch axis is free on the
-    MXU).  ~16k EPs/word vs ~10^2 per encrypted read: a load costs
-    ~100x a read, the expected bootstrapping-class gap.  The chain is
-    the fused_blind_rotate_pallas pattern with per-step DYNAMIC
-    amounts; the composed path below is the reference implementation,
-    an in-kernel dynamic-roll variant is the named follow-up.
+  * Bootstrapping key: 2 * rank * N GGSWs = 8192 at production at the
+    Lg=5 (k=85-grade) gadget -- Lg=3 is priced OUT by the value bit's
+    2^(17-k_pt) up-scale (noise.bitdecomp_bit_noise_log2: -9.7 vs the
+    -10 bound; Lg=5 gives -22.5).  Coefficient form ~7.5 GiB,
+    HBM-resident on one v5e (16 GiB); the prepared (NTT) form is
+    P-fold larger and does not fit, so the chain forward-NTTs each
+    step's pair in-body.  Sharding the bsk rows over the mesh works
+    like the RAM's.
+  * Compute: ceil(8/chunk) = 2 phases x N CMux steps, batch width =
+    chunk bits x gadget rows x word_size bytes (the whole word shares
+    every chain step's key NTT/stream; the VMP work scales with the
+    batch width).  ~16k keyed products/word vs ~10^2 per encrypted
+    read: a load costs ~10^2x a read, the expected bootstrapping-class
+    gap.  The chain is the fused_blind_rotate_pallas pattern with
+    per-step DYNAMIC amounts; the composed path below is the
+    reference implementation, an in-kernel dynamic-roll variant is
+    the named follow-up.
 
 Status: decode-checked end-to-end at a toy ring
 (tests/test_bitdecomp.py: N = 64, k_pt = 4, 4-bit values, chunk = 2)
-including the word assembly and the GGSW lift driving a real CMux --
-AND measured at the PRODUCTION ring on the real TPU
-(scripts/bitdecomp_probe.py: N = 4096, k_pt = 9, byte -> 8 bits in
-~0.6 s, decode gate green at ~2^-20 bit noise vs the 2^-10 bound,
-coefficient-form Lg=3 bsk at 4.5 GiB HBM with in-chain NTT).
+including the word assembly and the GGSW lift driving a real CMux and
+the ALU, AND measured at the PRODUCTION ring on the real TPU
+(scripts/bitdecomp_probe.py; see BENCH_NOTES for the numbers).
 """
 
 from __future__ import annotations
@@ -123,9 +133,10 @@ def bootstrap_key(params: Params, ctx: NTTContext, sk, s_ntt,
     step's two external products).
 
     dnum/limbs parameterize the bsk gadget independently of the address
-    GGSWs (the blind-rotation budget tolerates Lg=3 at the production
-    ring; priced in the module docstring).  Client-side (consumes the
-    secret); one-time ~2*rank*N GGSW encryptions."""
+    GGSWs (production needs limbs=5: Lg=3 is priced out by the value
+    bits' up-scale, noise.bitdecomp_bit_noise_log2; toy rings tolerate
+    3).  Client-side (consumes the secret); one-time ~2*rank*N GGSW
+    encryptions."""
     sk_np = np.asarray(sk)  # [rank, N]
     n = params.n
     rows = []
@@ -217,40 +228,57 @@ def _rot_dyn(x, a, n: int):
     return jnp.where(a >= n, -r, r)
 
 
-def _test_poly_limbs(params: Params):
-    """T = -h * sum_i X^i with h encoding 2^-(k_pt+1) (torus), as
-    normalized ct limbs [L, N]."""
+def _h_of(params: Params, level: int) -> tuple[int, int]:
+    """(limb index, limb value) of the sign-test amplitude h for a
+    test at `level`: level 0 = the VALUE scale (h = 2^-(k_pt+1), the
+    extracted bit lands at bit * 2^-k_pt); level d >= 1 = the GADGET
+    scale (h = 2^-(17d+1), the test emits a digit row b * 2^-17d
+    directly -- the test polynomial is the pre-scaled plaintext, so no
+    ciphertext ever divides; see bits_to_prepared)."""
+    if level == 0:
+        return 0, 1 << (16 - params.k_pt)
+    # h = 2^-(17*level + 1) = limb `level` (scale 2^-17(level+1)) at
+    # value 2^16; the test's +-h outputs are then 2h = 2^-17*level
+    # apart -- digit row level-1 of the gadget
+    return level, 1 << 16
+
+
+def _test_poly_limbs(params: Params, level: int = 0):
+    """T = -h * sum_i X^i at the level's scale (_h_of), as normalized
+    ct limbs [L, N]."""
     n, L = params.n, params.limbs_ct
-    h = 1 << (16 - params.k_pt)  # 2^-(k_pt+1) at the limb-0 scale 2^-17
+    li, hv = _h_of(params, level)
     out = jnp.zeros((L, n), dtype=I32)
-    return out.at[0, :].set(-h)
+    return out.at[li, :].set(-hv)
 
 
-def _h_slot0(params: Params):
-    """Trivial ct of h = 2^-(k_pt+1) at slot 0 (the sign affine)."""
+def _h_slot0(params: Params, level: int = 0):
+    """Trivial ct of the level's h at slot 0 (the sign affine)."""
     n, L, C = params.n, params.limbs_ct, params.rank + 1
-    h = 1 << (16 - params.k_pt)
+    li, hv = _h_of(params, level)
     ct = jnp.zeros((C, L, n), dtype=I32)
-    return ct.at[params.rank, 0, 0].set(h)
+    return ct.at[params.rank, li, 0].set(hv)
 
 
 def sign_bootstrap(params: Params, ctx: NTTContext, ct, bsk_prep,
-                   scales, offsets):
+                   scales, offsets, levels=None):
     """K parallel sign tests under per-test public scales: returns
     int32[K, C, L, N] with slot 0 of output k equal to
-    h * (1 - 2 * MSB(frac(phase_0(ct_k) * scales[k]))) (+ garbage in
+    h_k * (1 - 2 * MSB(frac(phase_0(ct_k) * scales[k]))) (+ garbage in
     the other slots; trace to clean).  ct: one GLWE [C, L, N] shared by
     every test, or [K, C, L, N] with test k reading its OWN ciphertext
-    (the word-batched form: all bytes of a word share the chain).  ONE
-    CMux chain serves all K accumulators (the batch axis of every
-    external product)."""
+    (the word-batched form: all bytes of a word share the chain).
+    levels[k] picks test k's amplitude scale (_h_of; default all 0 =
+    the value scale).  ONE CMux chain serves all K accumulators (the
+    batch axis of every external product)."""
     n = params.n
     two_n = 2 * n
     C = params.rank + 1
     K = len(scales)
     L = params.limbs_ct
+    levels = [0] * K if levels is None else list(levels)
     cts = jnp.broadcast_to(ct, (K,) + ct.shape) if ct.ndim == 3 else ct
-    assert cts.shape[0] == K
+    assert cts.shape[0] == K and len(levels) == K
 
     # per-test public LWE view + mod-switch
     a = _torus_f32(cts[:, : params.rank])                 # [K, rank, N]
@@ -263,9 +291,9 @@ def sign_bootstrap(params: Params, ctx: NTTContext, ct, bsk_prep,
     a_t = jnp.stack([_msw(t_alpha[k], s, two_n, 0)
                      for k, s in enumerate(scales)])      # [K, rank*N]
 
-    # acc_k init: trivial X^(b_k) * T
-    T = _test_poly_limbs(params)                          # [L, N]
-    body = jax.vmap(lambda b: _rot_dyn(T, b, n))(b_t)     # [K, L, N]
+    # acc_k init: trivial X^(b_k) * T_k (per-level test polynomial)
+    T = jnp.stack([_test_poly_limbs(params, lv) for lv in levels])
+    body = jax.vmap(lambda t, b: _rot_dyn(t, b, n))(T, b_t)  # [K, L, N]
     acc = jnp.zeros((K, C, L, n), dtype=I32)
     acc = acc.at[:, params.rank].set(body)
 
@@ -303,51 +331,102 @@ def sign_bootstrap(params: Params, ctx: NTTContext, ct, bsk_prep,
 # the decomposition pipeline
 # --------------------------------------------------------------------------
 
+# digit rows of the LIFTED GGSW gadget (bits_to_prepared): a truncated
+# 2-digit base-2^17 gadget -- the same truncation the READOPT read path
+# runs (read_ep_digits = 2), priced by noise.var_digit_trunc.  Row d
+# comes from its OWN sign test at the gadget scale (test polynomial
+# pre-scaled to h = 2^-(17(d+1)+1)): a ciphertext is NEVER divided.
+# (The round-5 first cut shifted the bit ciphertext right instead --
+# UNSOUND: the phase's mod-1 wrap integer does not divide, measured
+# 2^-10.7 row error, the exact mid-loop torus-division landmine the
+# trace docstring warns about.)
+_LIFT_ROWS = 2
+
+
 def bytes_to_bits(params: Params, ctx: NTTContext, byte_cts, bsk_prep, atk,
-                  p: int, chunk: int = 4):
+                  p: int, chunk: int = 4, with_rows: bool = False):
     """Wb RAM byte ciphertexts ([Wb, C, L, N], SIGNED p-bit values at
     slot 0, ram.encrypt_ram convention) -> int32[Wb, p, C, L, N]:
-    bit k of the UNSIGNED representation u = x + 2^(p-1), encoded
-    bit * 2^-k_pt (clean: all other slots traced to zero).
+    bit k of the UNSIGNED byte value x mod 2^p, encoded bit * 2^-k_pt
+    (clean: all other slots traced to zero).  The sign tests extract
+    the bits of u = x + 2^(p-1), which match the unsigned byte's for
+    k < p-1; the MSB comes out flipped and is flipped back by an exact
+    trivial subtraction.
+
+    with_rows=True additionally returns [Wb, p, _LIFT_ROWS, C, L, N]:
+    per bit the GADGET-scale digit rows (row d = bit * 2^-17(d+1)) for
+    the GGSW lift -- produced by the SAME chains at pre-scaled test
+    polynomials.  The VALUE bit is the d=0 row scaled UP by the exact
+    integer 2^(17-k_pt) (multiplication is sound; division is not).
 
     chunk bits extract per phase (see module docstring step 4); every
-    phase is ONE batched blind rotation (K = Wb * chunk accumulators
-    share the chain's key NTT/streaming/launches; the per-step VMP
-    work still scales with K -- measured: a 4-byte word costs 2.7x one
-    byte, not 4x) + one batched trace."""
+    phase is ONE batched blind rotation (K = Wb * chunk * rows
+    accumulators share the chain's key NTT/streaming/launches; the
+    per-step VMP work scales with K) + one batched trace."""
     assert p <= params.k_pt, "value must fit the plaintext precision"
     n = params.n
     Wb = byte_cts.shape[0]
     C, L = params.rank + 1, params.limbs_ct
+    R = _LIFT_ROWS if with_rows else 1
     # unsigned shift: u = x + 2^(p-1)  (exact trivial add at slot 0;
     # 2^(p-1) * 2^(17-k_pt) at the limb-0 scale)
     off = jnp.zeros((C, L, n), dtype=I32)
     off = off.at[params.rank, 0, 0].set(1 << (17 - params.k_pt + p - 1))
     u_cts = limb_ops.normalize(byte_cts + off[None])
 
-    h_triv = _h_slot0(params)
-    bits = []
+    bits, rows = [], []
     step = 1
     for lo in range(0, p, chunk):
         ks = list(range(lo, min(lo + chunk, p)))
         kc = len(ks)
-        scales = [1 << (params.k_pt - 1 - k) for k in ks] * Wb
-        # half-gap offset: step * 2^-(k+2) of the SCALED phase, in slots
-        offsets = [int(round(step * 2.0 ** (-(k + 2)) * 2 * n))
-                   for k in ks] * Wb
-        cts = jnp.repeat(u_cts, kc, axis=0)  # test (i*kc+j) = byte i
-        acc = sign_bootstrap(params, ctx, cts, bsk_prep, scales, offsets)
-        tr = keyswitch.trace(params, ctx, acc, atk)    # [Wb*kc, C, L, N]
-        bk = limb_ops.normalize(h_triv[None] - tr).reshape(
-            (Wb, kc) + tr.shape[1:])                   # bit * 2^-k_pt
-        bits.append(bk)
+        # tests: per byte, per chunk bit, per gadget level 1..R (test
+        # (i*kc + j)*R + (lv-1)); the mod-switch depends only on the
+        # bit, the test polynomial only on the level
+        scales, offsets, levels = [], [], []
+        for _ in range(Wb):
+            for k in ks:
+                for lv in range(1, R + 1):
+                    scales.append(1 << (params.k_pt - 1 - k))
+                    # half-gap offset: step * 2^-(k+2) of the SCALED
+                    # phase, in slots
+                    offsets.append(
+                        int(round(step * 2.0 ** (-(k + 2)) * 2 * n)))
+                    levels.append(lv)
+        cts = jnp.repeat(u_cts, kc * R, axis=0)
+        acc = sign_bootstrap(params, ctx, cts, bsk_prep, scales, offsets,
+                             levels)
+        tr = keyswitch.trace(params, ctx, acc, atk)  # [Wb*kc*R, C, L, N]
+        tr = tr.reshape((Wb, kc, R) + tr.shape[1:])
+        h_stack = jnp.stack([_h_slot0(params, lv)
+                             for lv in range(1, R + 1)])  # [R, C, L, N]
+        rk = limb_ops.normalize(h_stack[None, None] - tr)
+        # value bit = d=0 row * 2^(17 - k_pt): exact integer up-scale
+        bk = limb_ops.normalize(rk[:, :, 0] * (1 << (17 - params.k_pt)))
         if lo + chunk < p:
             # subtract the extracted contribution (exact integer scale):
-            # u <- u - sum_k b_k * 2^k, granularity becomes 2^(lo+chunk)
+            # u <- u - sum_k b_k(u) * 2^k, granularity -> 2^(lo+chunk)
             contrib = sum(bk[:, i] * (1 << k) for i, k in enumerate(ks))
             u_cts = limb_ops.normalize(u_cts - contrib)
             step <<= chunk
-    return jnp.concatenate(bits, axis=1)  # [Wb, p, C, L, N]
+        if p - 1 in ks:
+            # final phase: bit_{p-1}(u) = 1 - bit_{p-1}(byte) -- flip
+            # back exactly so outputs are the UNSIGNED byte's bits
+            i = ks.index(p - 1)
+            one = jnp.zeros((C, L, n), dtype=I32).at[
+                params.rank, 0, 0].set(1 << (17 - params.k_pt))
+            bk = bk.at[:, i].set(
+                limb_ops.normalize(one[None] - bk[:, i]))
+            ones_r = jnp.zeros((R, C, L, n), dtype=I32)
+            for lv in range(1, R + 1):
+                ones_r = ones_r.at[lv - 1, params.rank, lv - 1, 0].set(1)
+            rk = rk.at[:, i].set(
+                limb_ops.normalize(ones_r[None] - rk[:, i]))
+        bits.append(bk)
+        rows.append(rk)
+    bits = jnp.concatenate(bits, axis=1)  # [Wb, p, C, L, N]
+    if with_rows:
+        return bits, jnp.concatenate(rows, axis=1)
+    return bits
 
 
 def byte_to_bits(params: Params, ctx: NTTContext, byte_ct, bsk_prep, atk,
@@ -370,27 +449,26 @@ def bits_to_word(params: Params, bit_cts, bits: int):
     return limb_ops.normalize(word)
 
 
-def bits_to_prepared(params: Params, ctx: NTTContext, bit_cts,
+def bits_to_prepared(params: Params, ctx: NTTContext, bit_rows,
                      keys: keys_mod.EvaluationKeysPrepared):
-    """Clean bit GLWEs [p, C, L, N] -> FheUintPrepared GGSW stack
-    [P, p, D, C, C2, Lg, N]: the circuit-bootstrap scheme switch.
-
-    Digit row d of GGSW(b) needs GLWE(b * 2^-17(d+1)): an EXACT limb
-    shift of the bit ct (b * 2^-k_pt, k_pt <= 17).  Every a-row c is
-    b-row (x) tsk[c] = GLWE(-s_c * b * 2^-17(d+1)) -- the same tensor-
-    key construction as core/keys.ggsw_automorphism (keys.rs analog)."""
-    D = params.dnum_ct
+    """Gadget-scale digit rows [p, _LIFT_ROWS, C, L, N] (from
+    bytes_to_bits(with_rows=True): row d = GLWE(b * 2^-17(d+1)) with a
+    fresh bootstrap mask) -> FheUintPrepared GGSW stack
+    [P, p, D=_LIFT_ROWS, C, C2, Lg, N]: the circuit-bootstrap scheme
+    switch.  Every a-row c is b-row (x) tsk[c] =
+    GLWE(-s_c * b * 2^-17(d+1)) -- the same tensor-key construction as
+    core/keys.ggsw_automorphism (keys.rs analog).  The result is a
+    TRUNCATED 2-digit gadget (the read-EP truncation pattern,
+    params.read_ep_digits = 2 in READOPT); external products slice the
+    operand to the key's digit count automatically."""
     Lg = params.limbs_ggsw
     rank = params.rank
-    p = bit_cts.shape[0]
+    D = bit_rows.shape[1]
     digit_rows = []
     for d in range(D):
-        sh = 17 * (d + 1) - params.k_pt
-        row_b = limb_ops.resize_limbs(bit_cts, Lg)        # [p, C, Lg, N]
-        while sh > 0:  # exact multi-limb shift (chunks < base2k)
-            s = min(sh, 16)
-            row_b = limb_ops.shift_right(row_b, s)
-            sh -= s
+        # pad to the GGSW row precision (appends zero LOW limbs: value-
+        # preserving, no division anywhere)
+        row_b = limb_ops.resize_limbs(bit_rows[:, d], Lg)  # [p, C, Lg, N]
         rows_a = [
             ggsw.external_product(params, ctx, row_b, keys.tsk[:, c],
                                   out_limbs=Lg)
@@ -410,9 +488,10 @@ def load_word(params: Params, ctx: NTTContext, fetched_bytes, bsk_prep,
     production geometry; the toy ring uses smaller."""
     W = fetched_bytes.shape[0]
     p = bits // W
-    bit_cts = bytes_to_bits(params, ctx, fetched_bytes, bsk_prep,
-                            keys.atk_glwe, p).reshape(
-        (bits,) + fetched_bytes.shape[1:])  # [bits, C, L, N]
+    bit_cts, rows = bytes_to_bits(params, ctx, fetched_bytes, bsk_prep,
+                                  keys.atk_glwe, p, with_rows=True)
+    bit_cts = bit_cts.reshape((bits,) + fetched_bytes.shape[1:])
+    rows = rows.reshape((bits,) + rows.shape[2:])  # [bits, D, C, L, N]
     word = bits_to_word(params, bit_cts, bits)
-    prepared = bits_to_prepared(params, ctx, bit_cts, keys)
+    prepared = bits_to_prepared(params, ctx, rows, keys)
     return word, prepared

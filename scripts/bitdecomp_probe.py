@@ -27,7 +27,9 @@ from fhe_ram_tpu.vm import bitdecomp
 
 P_BITS = 8
 CHUNK = 4
-BSK_LIMBS = 3  # blind-rotation gadget: Lg=3 (budget priced in module)
+BSK_LIMBS = 5  # blind-rotation gadget: Lg=5 (Lg=3 priced OUT at k_pt=9
+               # once the value bit is the up-scaled gadget row;
+               # core/noise.bitdecomp_bit_noise_log2)
 
 
 def lift_gate(ctx, src, s_ntt, ekp, bsk):
@@ -49,7 +51,7 @@ def lift_gate(ctx, src, s_ntt, ekp, bsk):
     word, prepared = jax.block_until_ready(fn(fetched, bsk, ekp))
     print(f"load_word wall {time.time()-t0:.0f}s (incl. compile)",
           flush=True)
-    us = [x + 128 for x in bytes_signed]
+    us = [x & 0xFF for x in bytes_signed]
     want = sum(u << (8 * i) for i, u in enumerate(us))
     got = fheuint.decrypt_word(par, ctx, s_ntt, word, 32)
     assert got == want, (hex(got), hex(want))
@@ -105,7 +107,7 @@ def main():
     t0 = time.time()
     for x in (-128, -77, 0, 113):
         bits = np.asarray(jax.block_until_ready(fn(enc_byte(x), bsk, atk)))
-        u = x + (1 << (P_BITS - 1))
+        u = x & ((1 << P_BITS) - 1)
         got, noises = [], []
         for k in range(P_BITS):
             ph = glwe.phase(par, ctx, s_ntt, jnp.asarray(bits[k]))

@@ -37,14 +37,14 @@ def enc_byte(ctx, s_ntt, src, x):
 
 
 def test_byte_to_bits(world):
-    """Signed values decompose to the bits of u = x + 2^(p-1), each bit
-    clean at slot 0 with fresh-bootstrap noise."""
+    """Signed values decompose to the UNSIGNED byte's bits (x mod 2^p),
+    each bit clean at slot 0 with fresh-bootstrap noise."""
     ctx, src, s_ntt, ekp, bsk = world
     for x in (-8, -3, 5):
         ct = enc_byte(ctx, s_ntt, src, x)
         bits = bitdecomp.byte_to_bits(PAR, ctx, ct, bsk, ekp.atk_glwe,
                                       P_BITS, chunk=2)
-        u = x + (1 << (P_BITS - 1))
+        u = x & ((1 << P_BITS) - 1)
         for k in range(P_BITS):
             want = (u >> k) & 1
             ph = glwe.phase(PAR, ctx, s_ntt, bits[k])
@@ -58,13 +58,13 @@ def test_load_word(world):
     (decrypt_word round-trips) AND prepared GGSW bits that drive a real
     external product (EP(GLWE(m), GGSW(b)) decodes b*m)."""
     ctx, src, s_ntt, ekp, bsk = world
-    bytes_signed = [5, -3]  # word = (u1 << 4) | u0 with u = x + 8
+    bytes_signed = [5, -3]  # word = (b1 << 4) | b0, b = x mod 16
     fetched = jnp.stack([enc_byte(ctx, s_ntt, src, x)
                          for x in bytes_signed], axis=0)
     word, prepared = bitdecomp.load_word(PAR, ctx, fetched, bsk, ekp,
                                          bits=2 * P_BITS)
 
-    us = [x + (1 << (P_BITS - 1)) for x in bytes_signed]
+    us = [x & ((1 << P_BITS) - 1) for x in bytes_signed]
     want_word = us[0] | (us[1] << P_BITS)
     got = fheuint.decrypt_word(PAR, ctx, s_ntt, word, 2 * P_BITS)
     assert got == want_word, (got, want_word)
@@ -82,3 +82,16 @@ def test_load_word(world):
         val, noise = glwe.decode_coeff0(PAR, np.asarray(ph), b * m)
         assert int(val) == b * m, (j, val, b * m)
         assert noise < -(PAR.k_pt + 1), (j, noise)
+
+    # the lifted bits must survive a real ALU CHAIN, not just one
+    # select (the round-5 shift-lift bug passed selects and failed
+    # here: chained CMuxes amplify row noise by full-mask digits)
+    from fhe_ram_tpu.vm import arithmetic
+
+    rhs_val = 0x33
+    rhs = fheuint.encrypt_prepared(PAR, ctx, s_ntt, rhs_val, src,
+                                   2 * P_BITS)
+    words = arithmetic._dp_group(PAR, ctx, ("add",), prepared, rhs, rhs,
+                                 2 * P_BITS)
+    got = fheuint.decrypt_word(PAR, ctx, s_ntt, words["add"], 2 * P_BITS)
+    assert got == (want_word + rhs_val) & 0xFF, hex(got)

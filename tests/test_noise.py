@@ -272,14 +272,17 @@ def test_rpw_truncation_priced_out():
 
 def test_bitdecomp_bit_noise_bounded():
     """The sign-bootstrap output-bit noise bound (vm/bitdecomp.py,
-    noise.bitdecomp_bit_noise_log2) clears the bit-decode bound at the
-    Lg=3 blind-rotation gadget for every production preset, with
-    margin (measured on-chip: ~2^-20 at 2_18 turbo vs the -17.7 model
-    bound -- the model is conservative, as it should be)."""
+    noise.bitdecomp_bit_noise_log2) clears the bit-decode bound with
+    margin at the production Lg=5 bsk gadget (-22.5 vs -10), and
+    prices OUT the Lg=3 bsk the round-5 first cut ran."""
     from fhe_ram_tpu.params import (
         PARAMS_2_18_TURBO_READOPT, PARAMS_2_18_READOPT, PARAMS_README_2_18)
 
     for p in (PARAMS_2_18_TURBO_READOPT, PARAMS_2_18_READOPT,
               PARAMS_README_2_18):
-        b = noise.bitdecomp_bit_noise_log2(p, bsk_limbs=3)
+        b = noise.bitdecomp_bit_noise_log2(p, bsk_limbs=5)
         assert b < -(p.k_pt + 1) - 4, (b, p.k_pt)
+        # the Lg=3 bsk is priced OUT at production precision (-9.7 vs
+        # the -10 bound): the model must catch it
+        assert noise.bitdecomp_bit_noise_log2(p, bsk_limbs=3) > -(
+            p.k_pt + 1) - 4
