@@ -173,22 +173,29 @@ def bootstrap_key_fast(params: Params, ctx: NTTContext, sk, s_ntt,
     bits = np.stack([(sk_np == 1), (sk_np == -1)], axis=1)  # [rank*N, 2]
     bits = bits.reshape(-1).astype(np.int32)  # [2*rank*N]
 
-    @_jax.jit
-    def enc_chunk(s_ntt_, b, ka, ke):
+    from functools import partial as _partial
+
+    # write each chunk into ONE donated buffer: at the production Lg=5
+    # size (7.5 GiB) a concatenate would double-buffer and OOM HBM
+    @_partial(_jax.jit, donate_argnums=(0,))
+    def enc_into(buf, s_ntt_, b, ka, ke, start):
         M = b.shape[0]
         zeros = jnp.zeros((M, D, C, Lg, n), dtype=I32)
         rows = glwe_mod._encrypt_impl(params, ctx, s_ntt_, zeros, ka, ke)
         for d in range(D):
             for c in range(C):
                 rows = rows.at[:, d, c, c, d, 0].add(b)
-        return limb_ops.normalize(rows)
+        rows = limb_ops.normalize(rows)
+        return _jax.lax.dynamic_update_slice(
+            buf, rows, (start,) + (0,) * (buf.ndim - 1))
 
-    outs = []
-    for i in range(0, bits.shape[0], chunk):
+    total = bits.shape[0]
+    buf = jnp.zeros((total, D, C, C, Lg, n), dtype=I32)  # C2 == C
+    for i in range(0, total, chunk):
         b = jnp.asarray(bits[i : i + chunk])
-        outs.append(enc_chunk(s_ntt, b, source.split(), source.split()))
-    stacked = jnp.concatenate(outs, axis=0)
-    return stacked.reshape((params.rank * n, 2) + stacked.shape[1:])
+        buf = enc_into(buf, s_ntt, b, source.split(), source.split(),
+                       jnp.int32(i))
+    return buf.reshape((params.rank * n, 2) + buf.shape[1:])
 
 
 # --------------------------------------------------------------------------
