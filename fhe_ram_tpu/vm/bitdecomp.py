@@ -308,13 +308,25 @@ def sign_bootstrap(params: Params, ctx: NTTContext, ct, bsk_prep,
     # arrives prepared ([P, rank*N, 2, ...], small rings) or in
     # coefficient form ([rank*N, 2, ...], production -- the prepared
     # key is P-fold larger and HBM-resident only in this form; each
-    # step's pair is forward-NTT'd in-body).
+    # step's pair is forward-NTT'd in-body).  The coefficient bsk is
+    # GATHERED per step (dynamic_index_in_dim) instead of fed as scan
+    # xs: scan xs get copied into the loop's tiled layout, and the
+    # 7.5 GiB production key pads 1.6x on its (Lg, N) minor dims --
+    # a 12 GiB HLO temp that OOMs the chip.
     coeff_form = bsk_prep.ndim == 7
-    bsk_steps = bsk_prep if coeff_form else jnp.moveaxis(bsk_prep, 1, 0)
+    if coeff_form:
+        steps_n = bsk_prep.shape[0]
+        pair_shape = bsk_prep.shape[1:]
+        bsk_flat = bsk_prep.reshape(steps_n, -1, bsk_prep.shape[-1])
+        bsk_steps = jnp.arange(steps_n, dtype=I32)
+    else:
+        bsk_steps = jnp.moveaxis(bsk_prep, 1, 0)
 
     def step(acc, xs):
-        key_pm, amt = xs  # [(P,) 2, D, C, C2, Lg, N], [K]
+        key_pm, amt = xs  # [(P,) 2, D, C, C2, Lg, N] or index, [K]
         if coeff_form:
+            key_pm = jax.lax.dynamic_index_in_dim(
+                bsk_flat, key_pm, 0, keepdims=False).reshape(pair_shape)
             key_pm = ggsw.prepare(ctx, key_pm)  # [P, 2, D, C, C2, Lg, N]
         # the +/- CMuxes of ONE secret coefficient commute (the
         # indicators are disjoint: at most one GGSW is nonzero), so both
