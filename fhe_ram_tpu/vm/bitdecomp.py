@@ -198,6 +198,14 @@ def bootstrap_key_fast(params: Params, ctx: NTTContext, sk, s_ntt,
     return buf.reshape((params.rank * n, 2) + buf.shape[1:])
 
 
+def flatten_bsk(bsk):
+    """Coefficient bsk [steps, 2, D, C, C2, Lg, N] -> the pre-flattened
+    [steps, 2*D*C*C2*Lg, N] form sign_bootstrap gathers copy-free
+    (do this OUTSIDE jit: a device reshape of the contiguous key is
+    metadata-only)."""
+    return bsk.reshape(bsk.shape[0], -1, bsk.shape[-1])
+
+
 # --------------------------------------------------------------------------
 # public LWE view + per-bit mod-switch
 # --------------------------------------------------------------------------
@@ -313,11 +321,25 @@ def sign_bootstrap(params: Params, ctx: NTTContext, ct, bsk_prep,
     # xs: scan xs get copied into the loop's tiled layout, and the
     # 7.5 GiB production key pads 1.6x on its (Lg, N) minor dims --
     # a 12 GiB HLO temp that OOMs the chip.
-    coeff_form = bsk_prep.ndim == 7
-    if coeff_form:
+    coeff_form = bsk_prep.ndim in (3, 7)
+    if bsk_prep.ndim == 7:
         steps_n = bsk_prep.shape[0]
         pair_shape = bsk_prep.shape[1:]
         bsk_flat = bsk_prep.reshape(steps_n, -1, bsk_prep.shape[-1])
+        bsk_steps = jnp.arange(steps_n, dtype=I32)
+    elif bsk_prep.ndim == 3:
+        # PRE-FLATTENED coefficient form [steps, 2*D*C*C2*Lg, N]
+        # (flatten_bsk): reshaping a 7-D jit ARGUMENT in-trace forces a
+        # full layout copy (7.5 GiB at production -- OOMs next to the
+        # resident key); the flat form gathers with no copy.  Assumes
+        # the default dnum_ct gadget.
+        steps_n = bsk_prep.shape[0]
+        D = params.dnum_ct
+        Cc = params.rank + 1
+        Lg = bsk_prep.shape[1] // (2 * D * Cc * Cc)
+        assert bsk_prep.shape[1] == 2 * D * Cc * Cc * Lg
+        pair_shape = (2, D, Cc, Cc, Lg, bsk_prep.shape[-1])
+        bsk_flat = bsk_prep
         bsk_steps = jnp.arange(steps_n, dtype=I32)
     else:
         bsk_steps = jnp.moveaxis(bsk_prep, 1, 0)

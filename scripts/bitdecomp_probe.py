@@ -89,6 +89,7 @@ def main():
     gib = bsk.size * 4 / 2**30
     print(f"bsk keygen {time.time()-t0:.0f}s, coefficient form "
           f"{bsk.shape} = {gib:.2f} GiB", flush=True)
+    bsk = bitdecomp.flatten_bsk(bsk)  # copy-free gather layout
 
     if os.environ.get("FHERAM_BITPROBE") == "lift":
         return lift_gate(ctx, src, s_ntt, ekp, bsk)
