@@ -157,10 +157,13 @@ def bootstrap_key(params: Params, ctx: NTTContext, sk, s_ntt,
 def bootstrap_key_fast(params: Params, ctx: NTTContext, sk, s_ntt,
                        source: rng.Source, dnum: int | None = None,
                        limbs: int | None = None, chunk: int = 512):
-    """bootstrap_key in COEFFICIENT form with batched encryption:
-    `chunk` indicator GGSWs per jit call (the per-GGSW loop costs
-    2*rank*N dispatches -- minutes over the tunnel at N=4096).  Same
-    key semantics, different RNG draws."""
+    """bootstrap_key in the FLAT coefficient gather layout
+    [rank*N, 2*D*C*C2*Lg, N] (the 3-D form sign_bootstrap gathers
+    copy-free; assumes the default dnum_ct digit count), with batched
+    encryption: `chunk` indicator GGSWs per jit call (the per-GGSW
+    loop costs 2*rank*N dispatches -- minutes over the tunnel at
+    N=4096).  Same key semantics as bootstrap_key, different RNG
+    draws."""
     import jax as _jax
 
     from ..core import glwe as glwe_mod
@@ -175,35 +178,31 @@ def bootstrap_key_fast(params: Params, ctx: NTTContext, sk, s_ntt,
 
     from functools import partial as _partial
 
-    # write each chunk into ONE donated buffer: at the production Lg=5
-    # size (7.5 GiB) a concatenate would double-buffer and OOM HBM
+    # write each chunk into ONE donated buffer ALREADY in the flat
+    # [steps, 2*D*C*C2*Lg, N] gather layout sign_bootstrap consumes: at
+    # the production Lg=5 size (7.5 GiB) both a concatenate and ANY
+    # post-hoc device reshape double-buffer and OOM HBM
+    assert chunk % 2 == 0
+    rowsz = 2 * D * C * C * Lg  # C2 == C
+
     @_partial(_jax.jit, donate_argnums=(0,))
-    def enc_into(buf, s_ntt_, b, ka, ke, start):
+    def enc_into(buf, s_ntt_, b, ka, ke, start_pair):
         M = b.shape[0]
         zeros = jnp.zeros((M, D, C, Lg, n), dtype=I32)
         rows = glwe_mod._encrypt_impl(params, ctx, s_ntt_, zeros, ka, ke)
         for d in range(D):
             for c in range(C):
                 rows = rows.at[:, d, c, c, d, 0].add(b)
-        rows = limb_ops.normalize(rows)
-        return _jax.lax.dynamic_update_slice(
-            buf, rows, (start,) + (0,) * (buf.ndim - 1))
+        rows = limb_ops.normalize(rows).reshape(M // 2, rowsz, n)
+        return _jax.lax.dynamic_update_slice(buf, rows, (start_pair, 0, 0))
 
     total = bits.shape[0]
-    buf = jnp.zeros((total, D, C, C, Lg, n), dtype=I32)  # C2 == C
+    buf = jnp.zeros((params.rank * n, rowsz, n), dtype=I32)
     for i in range(0, total, chunk):
         b = jnp.asarray(bits[i : i + chunk])
         buf = enc_into(buf, s_ntt, b, source.split(), source.split(),
-                       jnp.int32(i))
-    return buf.reshape((params.rank * n, 2) + buf.shape[1:])
-
-
-def flatten_bsk(bsk):
-    """Coefficient bsk [steps, 2, D, C, C2, Lg, N] -> the pre-flattened
-    [steps, 2*D*C*C2*Lg, N] form sign_bootstrap gathers copy-free
-    (do this OUTSIDE jit: a device reshape of the contiguous key is
-    metadata-only)."""
-    return bsk.reshape(bsk.shape[0], -1, bsk.shape[-1])
+                       jnp.int32(i // 2))
+    return buf
 
 
 # --------------------------------------------------------------------------

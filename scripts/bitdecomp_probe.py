@@ -88,8 +88,7 @@ def main():
     bsk = jax.block_until_ready(bsk)
     gib = bsk.size * 4 / 2**30
     print(f"bsk keygen {time.time()-t0:.0f}s, coefficient form "
-          f"{bsk.shape} = {gib:.2f} GiB", flush=True)
-    bsk = bitdecomp.flatten_bsk(bsk)  # copy-free gather layout
+          f"flat {bsk.shape} = {gib:.2f} GiB", flush=True)
 
     if os.environ.get("FHERAM_BITPROBE") == "lift":
         return lift_gate(ctx, src, s_ntt, ekp, bsk)
