@@ -328,7 +328,7 @@ def sign_bootstrap(params: Params, ctx: NTTContext, ct, bsk_prep,
         bsk_steps = jnp.arange(steps_n, dtype=I32)
     elif bsk_prep.ndim == 3:
         # PRE-FLATTENED coefficient form [steps, 2*D*C*C2*Lg, N]
-        # (flatten_bsk): reshaping a 7-D jit ARGUMENT in-trace forces a
+        # (bootstrap_key_fast emits it): reshaping a 7-D jit ARGUMENT forces a
         # full layout copy (7.5 GiB at production -- OOMs next to the
         # resident key); the flat form gathers with no copy.  Assumes
         # the default dnum_ct gadget.
