@@ -129,8 +129,9 @@ def test_read_batch_sliced(monkeypatch):
 
 
 @pytest.mark.parametrize(
-    "par", [PARAMS_TEST_FLAT, PARAMS_TEST_SMALL, PARAMS_TEST_SMALL_WIDE],
-    ids=["flat_n2_1", "tree_n2_2", "wide_digit"])
+    "par", [PARAMS_TEST_FLAT, PARAMS_TEST_SMALL, PARAMS_TEST_SMALL_WIDE,
+            PARAMS_TEST_3LVL],
+    ids=["flat_n2_1", "tree_n2_2", "wide_digit", "tree_n2_3"])
 def test_read_write_cycle(par):
     ctx, src, s_ntt, server = build(par, seed=8)
     rnd = np.random.default_rng(12)
